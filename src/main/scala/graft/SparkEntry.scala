@@ -1,13 +1,504 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.TextStats
+import graft.dedup.{ExactDedup, MinHashLSH, SimHash}
+import graft.filters.{DocFilter, HeuristicFilters => HF}
+import graft.pipeline.CurationPipeline
+import graft.scrub.{Modifiers, PiiScrub}
+import graft.sim.Knn
+
+/** Driver contract: one entry per implemented operator (SURVEY.md §2),
+  * each with an equivalent DuckDB oracle where SQL can express it.
+  * Non-SQL-expressible operators (cascade short-circuit semantics,
+  * MinHash/SimHash sketches, LM perplexity, LSH ANN) get rows-only
+  * checks here and exact fixture parity in the ScalaTest suite.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------- shared input-construction snippets ----------
+  // Identical literal-replace injections evaluated by BOTH engines
+  // (Spark expr uses char(); DuckDB oracle uses chr()) so per-filter
+  // logic sees multi-line / symbol / url / bullet structure.
+
+  private def linesIn(ch: String => String) =
+    s"replace(text, ' the ', ${ch("10")})"
+  private def parasIn(ch: String => String) =
+    s"replace(text, ' data ', ${ch("10")} || ${ch("10")})"
+  private def punctIn(ch: String => String) =
+    s"replace(replace(text, ' the ', '.' || ${ch("10")}), ' data ', ${ch("10")})"
+  private def ellipsisIn(ch: String => String) =
+    s"replace(text, ' merge', '...' || ${ch("10")})"
+  private def bulletsIn(ch: String => String) =
+    s"replace(replace(text, ' value ', ${ch("10")}), 'key', '• key')"
+  private val symIn = "replace(text, ' hash ', ' # ')"
+  private val urlIn = "replace(text, 'scan', 'http://example.com/scan')"
+  private val numIn = "replace(text, 'batch', '12345')"
+  private val longIn = "replace(text, 'window', repeat('w', 1100))"
+  private val piiIn =
+    "text || ' Contact user' || cast(doc_id as string) || '@example.com or call +1-555-' || " +
+      "cast(100 + doc_id % 900 as string) || '-' || cast(1000 + doc_id % 9000 as string) || " +
+      "' from 10.0.' || cast(doc_id % 256 as string) || '.7 now.'"
+  private val piiInDuck = piiIn // same SQL works in DuckDB (cast as string OK? see oracle)
+  private val mdIn =
+    "'**' || text || '** and *tail* with [link](http://x.y) ' || text"
+  private def nlIn(ch: String => String) =
+    s"replace(text, ' row ', ${ch("10")} || ${ch("10")} || ${ch("10")} || ${ch("10")})"
+
+  private val sparkCh: String => String = n => s"char($n)"
+  private val duckCh: String => String = n => s"chr($n)"
+
+  // DuckDB word-list expression (Python str.split() semantics on ASCII)
+  private def duckWords(in: String) =
+    s"regexp_split_to_array(regexp_replace($in, '^\\s+|\\s+$$', '', 'g'), '\\s+')"
+
+  // ---------- per-filter query builder ----------
+  private def hfQuery(f: DocFilter, inputExpr: String = "text")
+  : (SparkSession, String) => DataFrame = { (s, dir) =>
+    val scoreU = udf((t: String) => f.score(t))
+    val keepU = udf((t: String) => f.keepDocument(t))
+    tbl(s, dir, "documents")
+      .withColumn("_in", expr(inputExpr))
+      .select(col("doc_id"), round(scoreU(col("_in")), 6).as("score"),
+        keepU(col("_in")).as("keep"))
+  }
+
+  /** Flagship: full curation pipeline over the documents table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    CurationPipeline.curate(docs)
+      .select("doc_id", "keep", "first_reject", "quality_score", "token_count", "scrubbed_text")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ================= relational core =================
+    "q1_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    "q2_join" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val cust = tbl(s, dir, "customer")
+      val nation = tbl(s, dir, "nation")
+      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("order_cnt"), round(sum("o_totalprice"), 2).as("total"))
+    }),
+
+    "q3_topk" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("o_orderkey", "o_totalprice", "rn")
+    }),
+
+    "q4_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    "q5_antijoin" -> ((s, dir) => {
+      // orders with no lineitems — anti-join pattern of the dedup removal
+      val orders = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"))
+      orders.join(li, Seq("o_orderkey"), "left_anti").select("o_orderkey", "o_totalprice")
+    }),
+
+    "q6_events_window" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+    }),
+
+    "q7_split_join" -> ((s, dir) => {
+      // DocumentSplitter + DocumentJoiner round trip (explode → window
+      // order → re-join); identity on single-spaced text
+      val docs = tbl(s, dir, "documents")
+      docs.select(col("doc_id"), posexplode(split(col("text"), " ", -1)).as(Seq("segment_id", "word")))
+        .groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("segment_id"), col("word")))),
+            x => x.getField("word")), " ").as("rejoined"))
+    }),
+
+    // ================= heuristic filters =================
+    "hf_word_count" -> hfQuery(HF.WordCount(50, 100000)),
+    "hf_nonalpha" -> hfQuery(HF.NonAlphaNumeric()),
+    "hf_numbers" -> hfQuery(HF.Numbers(), numIn),
+    "hf_whitespace" -> hfQuery(HF.WhiteSpace()),
+    "hf_parentheses" -> hfQuery(HF.Parentheses(), "replace(text, 'part', '(part)')"),
+    "hf_urls" -> hfQuery(HF.Urls(), urlIn),
+    "hf_mean_word_length" -> hfQuery(HF.MeanWordLength()),
+    "hf_long_word" -> hfQuery(HF.LongWord(), longIn),
+    "hf_common_english" -> hfQuery(HF.CommonEnglishWords()),
+    "hf_symbols_to_words" -> hfQuery(HF.SymbolsToWords(), symIn),
+    "hf_repeated_lines" -> hfQuery(HF.RepeatedLines(), linesIn(sparkCh)),
+    "hf_repeated_paragraphs" -> hfQuery(HF.RepeatedParagraphs(), parasIn(sparkCh)),
+    "hf_punctuation" -> hfQuery(HF.Punctuation(), punctIn(sparkCh)),
+    "hf_ellipsis" -> hfQuery(HF.Ellipsis(), ellipsisIn(sparkCh)),
+    "hf_bullets" -> hfQuery(HF.Bullets(), bulletsIn(sparkCh)),
+    "hf_words_without_alphabets" -> hfQuery(HF.WordsWithoutAlphabets(), numIn),
+
+    // full cascade (rows-only check here; exact reference parity in tests)
+    "cascade_en" -> ((s, dir) => {
+      graft.filters.Cascade.score(tbl(s, dir, "documents"))
+        .select("doc_id", "keep", "first_reject")
+    }),
+
+    // ================= scrubbing / modifiers =================
+    "scrub_pii" -> ((s, dir) => {
+      val u = udf((t: String) => PiiScrub.scrubPii(t))
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr(piiIn))
+        .select(col("doc_id"), u(col("_in")).as("scrubbed"))
+    }),
+
+    "scrub_profanity" -> ((s, dir) => {
+      val u = udf((t: String) => PiiScrub.defaultScrubber.scrub(t))
+      val tox = udf((t: String) => PiiScrub.defaultScrubber.toxicityScore(t))
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr("replace(text, 'dup', 'xxx')"))
+        .select(col("doc_id"), u(col("_in")).as("scrubbed"),
+          round(tox(col("_in")), 6).as("toxicity"))
+    }),
+
+    "mod_url_remove" -> ((s, dir) => {
+      val u = udf((t: String) => Modifiers.removeUrls(t))
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr(urlIn))
+        .select(col("doc_id"), u(col("_in")).as("cleaned"))
+    }),
+
+    "mod_newline_norm" -> ((s, dir) => {
+      val u = udf((t: String) => Modifiers.normalizeNewlines(t))
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr(nlIn(sparkCh)))
+        .select(col("doc_id"), u(col("_in")).as("normalized"))
+    }),
+
+    "mod_markdown_remove" -> ((s, dir) => {
+      val u = udf((t: String) => Modifiers.removeMarkdown(t))
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr(mdIn))
+        .select(col("doc_id"), u(col("_in")).as("cleaned"))
+    }),
+
+    // ================= text analysis =================
+    "ta_token_count" -> ((s, dir) => {
+      val wsU = udf((t: String) => TextStats.whitespaceTokenCount(t))
+      val bpeU = udf((t: String) => TextStats.bpeTokenCount(t))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), wsU(col("text")).as("ws_tokens"), bpeU(col("text")).as("bpe_tokens"))
+    }),
+
+    "ta_langid" -> ((s, dir) => {
+      val u = udf((t: String) => TextStats.heuristicLangId(t))
+      tbl(s, dir, "documents")
+        .withColumn("_p", u(col("text")))
+        .select(col("doc_id"), col("_p._1").as("lang_pred"), round(col("_p._2"), 6).as("lang_score"))
+    }),
+
+    "ta_quality" -> ((s, dir) => {
+      val u = udf((t: String) => TextStats.qualityScore(t))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), round(u(col("text")), 6).as("quality"))
+    }),
+
+    "ta_fingerprint" -> ((s, dir) => {
+      val u = udf((t: String) => TextStats.fingerprint64(t))
+      tbl(s, dir, "documents").select(col("doc_id"), u(col("text")).as("fp64"))
+    }),
+
+    // ================= deduplication =================
+    "dedup_exact_ids" -> ((s, dir) =>
+      ExactDedup.removalIds(tbl(s, dir, "documents")).select(col("doc_id"))),
+
+    "dedup_exact_kept" -> ((s, dir) =>
+      ExactDedup.removeDuplicates(tbl(s, dir, "documents")).select("doc_id")),
+
+    "dedup_minhash_ids" -> ((s, dir) =>
+      MinHashLSH.removalIds(tbl(s, dir, "documents"))),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      SimHash.nearDupPairs(tbl(s, dir, "documents"), maxHamming = 3)),
+
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      MinHashLSH.verifiedPairs(tbl(s, dir, "documents"), minJaccard = 0.5)
+        .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // ================= similarity search =================
+    "knn_brute" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      Knn.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    "knn_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      Knn.lshTopK(emb, q, k = 5, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    "emb_neardup" -> ((s, dir) => {
+      Knn.nearDupPairsWithin(tbl(s, dir, "embeddings"), "label", minCosine = 0.3)
+        .select(col("src"), col("dst"), round(col("cosine"), 4).as("cosine"))
+    }),
+
+    // ================= multimodal plumbing =================
+    "mm_meta" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      graft.multimodal.BinaryOps.withMediaMeta(docs, "payload")
+        .select(col("doc_id"), col("meta.byte_length").as("byte_length"),
+          col("meta.sha256").as("sha256"))
+    })
+  )
+
+  // ---------- DuckDB oracles ----------
+  private def hfRatioOracle(scoreExpr: String, keepExpr: String, inExpr: String = "text"): String =
+    s"SELECT doc_id, round($scoreExpr, 6) AS score, $keepExpr AS keep FROM " +
+      s"(SELECT doc_id, $inExpr AS t FROM documents)"
+
+  def oracleSql: Map[String, String] = {
+    val words = duckWords("t")
+    val nw = s"len($words)"
+    val lines = s"list_filter(regexp_split_to_array(t, chr(10)), x -> regexp_matches(x, '\\S'))"
+    val paras = s"regexp_split_to_array(t, chr(10) || chr(10))"
+    val ell = "'...','[...]','…','(...)','[…]','-»'"
+
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+           round(sum(l_extendedprice),2) AS sum_price, round(avg(l_discount),6) AS avg_disc,
+           count(*) AS cnt FROM lineitem GROUP BY 1,2""",
+
+      "q2_join" ->
+        """SELECT n_name, count(*) AS order_cnt, round(sum(o_totalprice),2) AS total
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""",
+
+      "q3_topk" ->
+        """SELECT o_orderkey, o_totalprice, rn FROM (
+             SELECT o_orderkey, o_totalprice,
+                    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) WHERE rn <= 10""",
+
+      "q4_window" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) WHERE rn = 1""",
+
+      "q5_antijoin" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)""",
+
+      "q6_events_window" ->
+        """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
+           round(sum(value),2) AS total_value FROM events GROUP BY 1,2""",
+
+      "q7_split_join" ->
+        "SELECT doc_id, text AS rejoined FROM documents",
+
+      "hf_word_count" -> hfRatioOracle(
+        s"CAST($nw AS DOUBLE)", s"$nw BETWEEN 50 AND 100000"),
+
+      "hf_nonalpha" -> hfRatioOracle(
+        s"CAST(length(t) - length(regexp_replace(t, '[^a-zA-Z0-9\\n?!,.]', '', 'g')) AS DOUBLE) / length(t)",
+        s"CAST(length(t) - length(regexp_replace(t, '[^a-zA-Z0-9\\n?!,.]', '', 'g')) AS DOUBLE) / length(t) <= 0.25"),
+
+      "hf_numbers" -> hfRatioOracle(
+        "CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS DOUBLE) / length(t)",
+        "CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS DOUBLE) / length(t) <= 0.15",
+        numIn),
+
+      "hf_whitespace" -> hfRatioOracle(
+        "CAST(length(t) - length(regexp_replace(t, '[\\t\\n\\r\\x08 ]', '', 'g')) AS DOUBLE) / length(t)",
+        "CAST(length(t) - length(regexp_replace(t, '[\\t\\n\\r\\x08 ]', '', 'g')) AS DOUBLE) / length(t) <= 0.25"),
+
+      "hf_parentheses" -> hfRatioOracle(
+        "CAST(length(t) - length(regexp_replace(t, '[{}⟨⟩\\[\\]()]', '', 'g')) AS DOUBLE) / length(t)",
+        "CAST(length(t) - length(regexp_replace(t, '[{}⟨⟩\\[\\]()]', '', 'g')) AS DOUBLE) / length(t) <= 0.1",
+        "replace(text, 'part', '(part)')"),
+
+      "hf_urls" -> hfRatioOracle(
+        s"CAST(coalesce(list_aggregate(list_transform(regexp_extract_all(t, $urlReDuck), x -> length(x)), 'sum'), 0) AS DOUBLE) / length(t)",
+        s"CAST(coalesce(list_aggregate(list_transform(regexp_extract_all(t, $urlReDuck), x -> length(x)), 'sum'), 0) AS DOUBLE) / length(t) <= 0.2",
+        urlIn),
+
+      "hf_mean_word_length" -> hfRatioOracle(
+        s"CAST(list_aggregate(list_transform($words, w -> length(w)), 'sum') AS DOUBLE) / $nw",
+        s"CAST(list_aggregate(list_transform($words, w -> length(w)), 'sum') AS DOUBLE) / $nw BETWEEN 3 AND 10"),
+
+      "hf_long_word" -> hfRatioOracle(
+        s"CAST(list_aggregate(list_transform($words, w -> length(w)), 'max') AS DOUBLE)",
+        s"list_aggregate(list_transform($words, w -> length(w)), 'max') <= 1000",
+        longIn),
+
+      "hf_common_english" -> hfRatioOracle(
+        s"CAST(least(len(list_filter($words, w -> w IN ('the','be','to','of','and','that','have','with'))), 2) AS DOUBLE)",
+        s"len(list_filter($words, w -> w IN ('the','be','to','of','and','that','have','with'))) >= 2"),
+
+      "hf_symbols_to_words" -> hfRatioOracle(
+        s"CAST(len(list_filter($words, w -> CAST(len(regexp_extract_all(w, '#+')) AS DOUBLE) / length(w) > 0.5 OR w IN ($ell,'read more..','read more'))) AS DOUBLE) / $nw",
+        s"CAST(len(list_filter($words, w -> CAST(len(regexp_extract_all(w, '#+')) AS DOUBLE) / length(w) > 0.5 OR w IN ($ell,'read more..','read more'))) AS DOUBLE) / $nw <= 0.1",
+        symIn),
+
+      "hf_repeated_lines" -> hfRatioOracle(
+        s"CAST(len(list_distinct($lines)) AS DOUBLE) / len($lines)",
+        s"CAST(len(list_distinct($lines)) AS DOUBLE) / len($lines) >= 0.7",
+        linesIn(duckCh)),
+
+      "hf_repeated_paragraphs" -> hfRatioOracle(
+        s"CAST(len(list_distinct($paras)) AS DOUBLE) / len($paras)",
+        s"CAST(len(list_distinct($paras)) AS DOUBLE) / len($paras) >= 0.7",
+        parasIn(duckCh)),
+
+      "hf_punctuation" -> hfRatioOracle(
+        s"CAST(len(list_filter($lines, x -> NOT regexp_matches(trim(x, ' ' || chr(9) || chr(13)), '[.?!\"'']$$'))) AS DOUBLE) / len($lines)",
+        s"CAST(len(list_filter($lines, x -> NOT regexp_matches(trim(x, ' ' || chr(9) || chr(13)), '[.?!\"'']$$'))) AS DOUBLE) / len($lines) <= 0.85",
+        punctIn(duckCh)),
+
+      "hf_ellipsis" -> hfRatioOracle(
+        s"CAST(len(list_filter($lines, x -> list_aggregate(list_transform([$ell,'read more..','read more'], m -> ends_with(lower(trim(x, ' ' || chr(9) || chr(13))), m)), 'max'))) AS DOUBLE) / len($lines)",
+        s"CAST(len(list_filter($lines, x -> list_aggregate(list_transform([$ell,'read more..','read more'], m -> ends_with(lower(trim(x, ' ' || chr(9) || chr(13))), m)), 'max'))) AS DOUBLE) / len($lines) <= 0.3",
+        ellipsisIn(duckCh)),
+
+      "hf_bullets" -> hfRatioOracle(
+        s"CAST(len(list_filter($lines, x -> starts_with(trim(x, ' ' || chr(9) || chr(13)), '•'))) AS DOUBLE) / len($lines)",
+        s"CAST(len(list_filter($lines, x -> starts_with(trim(x, ' ' || chr(9) || chr(13)), '•'))) AS DOUBLE) / len($lines) <= 0.9",
+        bulletsIn(duckCh)),
+
+      "hf_words_without_alphabets" -> hfRatioOracle(
+        s"CAST(len(list_filter($words, w -> regexp_matches(w, '[[:alpha:]]'))) AS DOUBLE) / $nw",
+        s"CAST(len(list_filter($words, w -> regexp_matches(w, '[[:alpha:]]'))) AS DOUBLE) / $nw >= 0.8",
+        numIn),
+
+      "scrub_pii" ->
+        s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace($piiInDuck,
+            '${PiiScrub.emailPattern}', '{EMAIL}', 'g'),
+            '${PiiScrub.ipv4Pattern}', '{IP}', 'g'),
+            '${PiiScrub.phonePattern}', '{PHONE}', 'g') AS scrubbed
+           FROM documents""",
+
+      "scrub_profanity" ->
+        """SELECT doc_id,
+             regexp_replace(replace(text, 'dup', 'xxx'), '(?i)\b(?:fuck|shit|bitch|asshole|bastard|cunt|dick|slut|whore|nigger|faggot|porn|xxx)\b', '{PROFANITY}', 'g') AS scrubbed,
+             round(CAST(len(list_filter(regexp_split_to_array(regexp_replace(replace(text, 'dup', 'xxx'), '^\s+|\s+$', '', 'g'), '\s+'), w -> regexp_matches(w, '(?i)\b(?:fuck|shit|bitch|asshole|bastard|cunt|dick|slut|whore|nigger|faggot|porn|xxx)\b'))) AS DOUBLE) / len(regexp_split_to_array(regexp_replace(replace(text, 'dup', 'xxx'), '^\s+|\s+$', '', 'g'), '\s+')), 6) AS toxicity
+           FROM documents""",
+
+      "mod_url_remove" ->
+        s"SELECT doc_id, regexp_replace($urlIn, 'https?://\\S+|www\\.\\S+', '', 'gi') AS cleaned FROM documents",
+
+      "mod_newline_norm" ->
+        s"SELECT doc_id, regexp_replace(regexp_replace(${nlIn(duckCh)}, '(\\n){3,}', chr(10) || chr(10), 'g'), '(\\r\\n){3,}', chr(13) || chr(10) || chr(13) || chr(10), 'g') AS normalized FROM documents",
+
+      "mod_markdown_remove" ->
+        s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace($mdIn,
+            '\\*\\*(.*?)\\*\\*', '\\1', 'g'), '\\*(.*?)\\*', '\\1', 'g'),
+            '_(.*?)_', '\\1', 'g'), '\\[.*?\\]\\((.*?)\\)', '\\1', 'g') AS cleaned FROM documents""",
+
+      "ta_token_count" ->
+        s"""SELECT doc_id, len(${duckWords("text")}) AS ws_tokens,
+            len(regexp_extract_all(text, '${TextStats.bpePattern.replace("'", "''")}')) AS bpe_tokens
+           FROM documents""",
+
+      "ta_langid" -> taLangidOracle,
+
+      "ta_quality" -> taQualityOracle,
+
+      "dedup_exact_ids" ->
+        """SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn > 1""",
+
+      "dedup_exact_kept" ->
+        """SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents) WHERE rn = 1""",
+
+      "knn_brute" ->
+        """SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS sim,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS rnk
+             FROM embeddings c, embeddings q
+             WHERE q.vec_id % 50 = 0 AND c.vec_id != q.vec_id) WHERE rnk <= 5""",
+
+      "emb_neardup" ->
+        """SELECT l.vec_id AS src, r.vec_id AS dst,
+                  round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) AS cosine
+           FROM embeddings l JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+           WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.3""",
+
+      "mm_meta" ->
+        "SELECT doc_id, octet_length(encode(text)) AS byte_length, sha256(text) AS sha256 FROM documents"
+    )
+  }
+
+  private val urlReDuck =
+    "'http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*\\(\\),]|(?:%[0-9a-fA-F][0-9a-fA-F]))+'"
+
+  private def taLangidOracle: String = {
+    val langs = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "nicht", "mit", "von", "zu", "auf"),
+      "en" -> Seq("the", "and", "of", "to", "in", "that", "is", "was", "for", "with", "have", "be"),
+      "es" -> Seq("el", "la", "los", "las", "de", "y", "un", "una", "es", "en", "que", "por"),
+      "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "dans", "que", "pour"),
+      "pt" -> Seq("o", "a", "os", "as", "de", "e", "um", "uma", "que", "em", "para", "com")
+    )
+    val words = duckWords("lower(text)")
+    val scoreCols = langs.map { case (l, sw) =>
+      s"CAST(len(list_filter($words, w -> w IN (${sw.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / len($words) AS s_$l"
+    }.mkString(", ")
+    val best = "greatest(s_de, s_en, s_es, s_fr, s_pt)"
+    val pick = langs.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id,
+          CASE WHEN $best = 0 THEN 'und' $pick END AS lang_pred,
+          round($best, 6) AS lang_score
+        FROM (SELECT doc_id, $scoreCols FROM documents)"""
+  }
+
+  private def taQualityOracle: String = {
+    val words = duckWords("text")
+    s"""SELECT doc_id, round((
+          least(1.0, CAST(nw AS DOUBLE) / 100.0) +
+          least(1.0, (CAST(stop_cnt AS DOUBLE) / nw) / 0.06) +
+          (CASE WHEN twc = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / twc END) +
+          (CASE WHEN nlines = 0 THEN 0.0 ELSE CAST(punct_lines AS DOUBLE) / nlines END) +
+          (CASE WHEN CAST(twc AS DOUBLE)/nw BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN CAST(nchar - twc AS DOUBLE)/greatest(1, nchar) <= 0.25 THEN 1.0
+                ELSE greatest(0.0, 1.0 - (CAST(nchar - twc AS DOUBLE)/greatest(1, nchar) - 0.25) * 4) END)
+        ) / 6.0, 6) AS quality
+        FROM (SELECT doc_id,
+          len($words) AS nw,
+          len(list_filter(list_transform($words, w -> lower(w)), w -> w IN ('the','be','to','of','and','that','have','with'))) AS stop_cnt,
+          length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+          length(regexp_replace(text, '\\s', '', 'g')) AS twc,
+          length(text) AS nchar,
+          len(list_filter(regexp_split_to_array(text, chr(10)), x -> regexp_matches(x, '\\S'))) AS nlines,
+          len(list_filter(regexp_split_to_array(text, chr(10)), x -> regexp_matches(x, '\\S') AND regexp_matches(trim(x, ' ' || chr(9) || chr(13)), '[.?!"'']$$'))) AS punct_lines
+        FROM documents)"""
+  }
 }

@@ -1,0 +1,149 @@
+package graft.analysis
+
+import java.util.regex.Pattern
+import graft.text.{Constants, PyText, TextUtils}
+
+/** Lightweight text analytics for large-scale training-data pipelines:
+  * token counting, quality scoring, document fingerprinting, and a
+  * stopword-based language heuristic. All pure per-row functions —
+  * no shuffle, fully pipelined inside whole-stage codegen via UDFs.
+  */
+object TextStats {
+
+  /** Whitespace token count (Python str.split() semantics). */
+  def whitespaceTokenCount(text: String): Int =
+    PyText.splitWhitespace(text).length
+
+  /** BPE-ish subword-boundary tokenizer: the GPT-2 pre-tokenizer regex
+    * family — contractions, letter runs, digit runs, punctuation runs,
+    * whitespace runs. Deterministic, no vocabulary needed. Kept in the
+    * Java∩RE2 regex subset (no lookaround) so the DuckDB oracle computes
+    * the identical count.
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  private val bpeRe: Pattern = Pattern.compile(bpePattern)
+
+  def bpeTokenCount(text: String): Int = {
+    val m = bpeRe.matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  /** Composite heuristic quality score in [0,1]: blends length,
+    * punctuation-terminated sentence ratio, stopword ratio, alpha ratio,
+    * and mean word length fitness. Not a reference op — an additional
+    * pipeline primitive (C4/Gopher-style signals reduced to one number).
+    */
+  def qualityScore(text: String): Double = {
+    val ws = TextUtils.words(PyText.strip(text))
+    if (ws.isEmpty) return 0.0
+    val nchar = PyText.len(text)
+    // length fitness: saturating ramp to 1.0 at 100 words
+    val lenScore = math.min(1.0, ws.length / 100.0)
+    // stopword ratio (clipped at 2x the typical 6% floor)
+    var stop = 0
+    var alphaChars = 0
+    var totalWordChars = 0
+    var i = 0
+    while (i < ws.length) {
+      val w = PyText.lower(ws(i))
+      if (Constants.commonEnglishWords.contains(w)) stop += 1
+      var j = 0
+      while (j < w.length) {
+        if (Character.isLetter(w.charAt(j))) alphaChars += 1
+        j += 1
+      }
+      totalWordChars += w.length
+      i += 1
+    }
+    val stopScore = math.min(1.0, stop.toDouble / ws.length / 0.06)
+    val alphaScore = if (totalWordChars == 0) 0.0 else alphaChars.toDouble / totalWordChars
+    val sents = TextUtils.sentences(text)
+    val punctScore =
+      if (sents.isEmpty) 0.0
+      else sents.count(s => Constants.endMarks.exists(PyText.strip(s).endsWith)).toDouble / sents.length
+    val mwl = totalWordChars.toDouble / ws.length
+    val mwlScore = if (mwl >= 3 && mwl <= 10) 1.0 else 0.0
+    val wsRatio = (nchar - totalWordChars).toDouble / math.max(1, nchar)
+    val wsScore = if (wsRatio <= 0.25) 1.0 else math.max(0.0, 1.0 - (wsRatio - 0.25) * 4)
+    (lenScore + stopScore + alphaScore + punctScore + mwlScore + wsScore) / 6.0
+  }
+
+  /** 64-bit polynomial rolling-hash document fingerprint (Rabin-style,
+    * base 257 over code points). Stable across JVMs; usable as a cheap
+    * content id for incremental pipelines.
+    */
+  def fingerprint64(text: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < text.length) {
+      h = h * 257 + text.charAt(i)
+      i += 1
+    }
+    h
+  }
+
+  /** Windowed Rabin fingerprints (w-shingling): hash of every `w`-char
+    * window, keeping the k smallest — a compact near-dup sketch.
+    */
+  def minKWindowHashes(text: String, w: Int = 16, k: Int = 8): Array[Long] = {
+    if (text.length < w) return Array(fingerprint64(text))
+    val pq = new java.util.PriorityQueue[java.lang.Long](k + 1, java.util.Comparator.reverseOrder())
+    // precompute base^(w-1) for rolling update
+    var pow = 1L
+    var i = 0
+    while (i < w - 1) { pow *= 257; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * 257 + text.charAt(i); i += 1 }
+    def offer(x: Long): Unit = {
+      val mixed = {
+        var v = x ^ (x >>> 33); v *= 0xff51afd7ed558ccdL; v ^ (v >>> 29)
+      }
+      if (!pq.contains(mixed)) {
+        pq.offer(mixed)
+        if (pq.size > k) pq.poll()
+      }
+    }
+    offer(h)
+    while (i < text.length) {
+      h = (h - text.charAt(i - w) * pow) * 257 + text.charAt(i)
+      offer(h)
+      i += 1
+    }
+    val out = new Array[Long](pq.size)
+    var j = out.length - 1
+    while (j >= 0) { out(j) = pq.poll(); j -= 1 }
+    out
+  }
+
+  /** Stopword-profile language heuristic over a handful of languages:
+    * score = fraction of words in each language's tiny stopword set;
+    * argmax wins, "und" (undetermined) if all zero. Cheap lexical
+    * fallback where no trained model is available.
+    */
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "that", "is", "was", "for", "with", "have", "be"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "un", "une", "est", "dans", "que", "pour"),
+    "es" -> Set("el", "la", "los", "las", "de", "y", "un", "una", "es", "en", "que", "por"),
+    "de" -> Set("der", "die", "das", "und", "ein", "eine", "ist", "nicht", "mit", "von", "zu", "auf"),
+    "pt" -> Set("o", "a", "os", "as", "de", "e", "um", "uma", "que", "em", "para", "com")
+  )
+
+  def heuristicLangId(text: String): (String, Double) = {
+    val ws = PyText.splitWhitespace(PyText.lower(text))
+    if (ws.isEmpty) return ("und", 0.0)
+    var bestLang = "und"
+    var bestScore = 0.0
+    for ((lang, set) <- stopwords.toSeq.sortBy(_._1)) {
+      var hits = 0
+      var i = 0
+      while (i < ws.length) { if (set.contains(ws(i))) hits += 1; i += 1 }
+      val s = hits.toDouble / ws.length
+      if (s > bestScore) { bestScore = s; bestLang = lang }
+    }
+    (bestLang, bestScore)
+  }
+}

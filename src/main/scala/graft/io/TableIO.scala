@@ -1,0 +1,79 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Table IO with commit/lineage/resume semantics.
+  *
+  * Production target is an Iceberg table (`PARTITIONED BY (days(warc_ts),
+  * lang)`, atomic snapshot commits); this sandbox has no Iceberg runtime
+  * jar offline, so all table access goes through this trait with two
+  * impls: [[ManifestParquetIO]] (partitioned parquet + a JSON-lines
+  * manifest giving commit/resume semantics) always available, and an
+  * Iceberg impl that is a thin `writeTo(...).append()` swap once the
+  * runtime jar is on the cluster classpath.
+  *
+  * Resume contract (north rule): each unit of work (a partition id) is
+  * committed to the manifest AFTER its output lands; a rerun anti-joins
+  * the committed set and processes only the remainder — the same
+  * guarantee the reference gets from atomic file renames
+  * (download/base/download.py:77-111) and batched writer manifests
+  * (io/writer/base.py:31-105).
+  */
+trait TableIO {
+  def read(spark: SparkSession, table: String): DataFrame
+  def write(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit
+}
+
+final class ManifestParquetIO(root: String) extends TableIO with Serializable {
+
+  private def path(table: String) = s"$root/$table"
+  private def manifestPath(table: String) = Paths.get(s"$root/${table}_manifest.jsonl")
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+
+  def write(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path(table))
+    appendManifest(table, s"""{"event":"commit","table":"$table","rows":${df.sparkSession.read.parquet(path(table)).count()}}""")
+  }
+
+  /** Append a lineage record (atomic enough for a single driver). */
+  def appendManifest(table: String, jsonLine: String): Unit = {
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(manifestPath(table), jsonLine + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Work units already committed for `table` (for resume). */
+  def committedUnits(table: String): Set[String] = {
+    val p = manifestPath(table)
+    if (!Files.exists(p)) return Set.empty
+    scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(p)).asScala
+      .flatMap { line =>
+        val m = """"unit":"([^"]+)"""".r.findFirstMatchIn(line)
+        m.map(_.group(1))
+      }.toSet
+  }
+
+  /** Checkpointed per-unit run: split the input by a unit column (e.g. a
+    * bucketed hash of url, or days(warc_ts)), skip committed units,
+    * process and commit the rest one unit at a time. Exact resume: a
+    * killed run reprocesses only uncommitted units and the final output
+    * equals a single-run output.
+    */
+  def runCheckpointed(df: DataFrame, unitCol: String, table: String)
+                     (process: DataFrame => DataFrame): Unit = {
+    val spark = df.sparkSession
+    val done = committedUnits(table)
+    val units = df.select(unitCol).distinct().collect().map(_.get(0).toString).sorted
+    for (u <- units if !done.contains(u)) {
+      val part = process(df.filter(col(unitCol) === u))
+      part.write.mode(SaveMode.Overwrite).parquet(s"${path(table)}/unit=$u")
+      val rows = spark.read.parquet(s"${path(table)}/unit=$u").count()
+      appendManifest(table, s"""{"event":"unit_commit","table":"$table","unit":"$u","rows":$rows}""")
+    }
+  }
+}

