@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Two-parallelism scaling evidence (BASELINE.md protocol): the north
+  * rule's N→4N-executor criterion, evidenced in-sandbox by running the
+  * identical curation job on the identical materialized input at
+  * local[8] and local[32] and reporting throughput at both plus
+  * efficiency = (docs/s @32) / (4 × docs/s @8).
+  *
+  * Each measurement runs in its OWN JVM (sequential sessions in one JVM
+  * cross-pollute via heap/GC state and skewed results by 3x in testing):
+  *
+  *   sbt "runMain graft.ScalingBench gen"
+  *   sbt "runMain graft.ScalingBench measure 8"
+  *   sbt "runMain graft.ScalingBench measure 32"
+  *   sbt "runMain graft.ScalingBench report"
+  *
+  * The job is the full curation pipeline (28-filter cascade + langid +
+  * PII/profanity scrub + quality/token annotations + kept-count): pure
+  * narrow map work, so ideal scaling is linear.
+  */
+object ScalingBench {
+
+  private def docs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "400000").toLong
+  private def corpusPath = s"/tmp/graft_scaling_corpus_$docs"
+  private def resultPath(cpus: Int) = s"/tmp/graft_scaling_result_$cpus.csv"
+
+  private def session(cpus: Int): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = args.headOption.getOrElse("all") match {
+    case "gen" => gen()
+    case "measure" => measure(args(1).toInt)
+    case "report" => report()
+    case "all" => // single-JVM fallback (noisier)
+      gen(); measure(8); measure(32); report()
+  }
+
+  private def gen(): Unit = {
+    val s = session(32)
+    s.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$corpusPath/_SUCCESS").exists()) {
+      // 256 splits so both parallelism levels see balanced work
+      graft.fixtures.CCPages.generate(s, docs, partitions = 256)
+        .write.mode("overwrite").parquet(corpusPath)
+      println(s"generated $docs docs at $corpusPath")
+    }
+    s.stop()
+  }
+
+  private def measure(cpus: Int): Unit = {
+    val s = session(cpus)
+    s.sparkContext.setLogLevel("WARN")
+    val corpus = s.read.parquet(corpusPath)
+    // codegen + JIT warmup in this JVM, untimed
+    graft.pipeline.CurationPipeline.keptOutput(
+      graft.pipeline.CurationPipeline.curate(corpus.limit(20000))).count()
+    def pass(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val kept = graft.pipeline.CurationPipeline.keptOutput(
+        graft.pipeline.CurationPipeline.curate(corpus)).count()
+      ((System.nanoTime() - t0) / 1e9, kept)
+    }
+    val (s1, k1) = pass()
+    val (s2, k2) = pass()
+    require(k1 == k2)
+    val best = math.min(s1, s2)
+    Files.writeString(Paths.get(resultPath(cpus)), s"$cpus,$best,$k1\n")
+    println(f"cores=$cpus wall=${best}%.2f s docs/s=${docs / best}%.0f kept=$k1 (passes: $s1%.2f, $s2%.2f)")
+    s.stop()
+  }
+
+  private def report(): Unit = {
+    def readRes(cpus: Int): (Double, Long) = {
+      val Array(_, sec, kept) = Files.readString(Paths.get(resultPath(cpus))).trim.split(",")
+      (sec.toDouble, kept.toLong)
+    }
+    val (sec8, kept8) = readRes(8)
+    val (sec32, kept32) = readRes(32)
+    require(kept8 == kept32, s"kept counts diverged: $kept8 vs $kept32")
+    val ds8 = docs / sec8
+    val ds32 = docs / sec32
+    val eff = ds32 / (4.0 * ds8)
+    val report =
+      f"""# BENCH_SCALING — N vs 4N parallelism (local[8] vs local[32])
+         |
+         |Protocol: BASELINE.md "Scaling efficiency" row. Identical job
+         |(full curation pipeline: 28-filter cascade + langid + PII/profanity
+         |scrub + quality/token annotations + kept count) on identical
+         |materialized input ($docs generated cc_pages rows, 256 splits).
+         |Each parallelism level measured in its own JVM, JIT-warmed,
+         |best of two timed passes.
+         |
+         || cores | wall s | docs/s | docs/s/core | kept |
+         ||---|---|---|---|---|
+         || 8  | $sec8%.2f | ${ds8}%.0f | ${ds8 / 8}%.0f | $kept8 |
+         || 32 | $sec32%.2f | ${ds32}%.0f | ${ds32 / 32}%.0f | $kept32 |
+         |
+         |Scaling efficiency (docs/s@32) / (4 x docs/s@8) = $eff%.3f
+         |(target >= 0.8). Reference CPU comparable: ~300 docs/s/core
+         |(19k docs/s on 64 cores, heuristic cascade,
+         |nightly-benchmark.yaml:340-368).
+         |""".stripMargin
+    Files.writeString(Paths.get("BENCH_SCALING.md"), report)
+    println(report)
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","queries":{"docs_per_s_8":$ds8%.1f,"docs_per_s_32":$ds32%.1f},"sf":"$docs docs"}""")
+  }
+}

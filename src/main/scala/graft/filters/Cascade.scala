@@ -20,11 +20,12 @@ object Cascade extends Serializable {
   final case class Verdict(keep: Boolean, firstReject: String, scores: Array[Double])
 
   def evaluate(filters: Array[DocFilter], text: String): Verdict = {
+    val ctx = new DocCtx(text) // words/sentences/paragraphs tokenized once
     val scores = Array.fill(filters.length)(Double.NaN)
     var i = 0
     while (i < filters.length) {
       val f = filters(i)
-      val s = f.score(text)
+      val s = f.scoreCtx(ctx)
       scores(i) = s
       if (!f.keep(s)) return Verdict(keep = false, f.name, scores)
       i += 1
@@ -44,14 +45,21 @@ object Cascade extends Serializable {
     }).apply(col("text"))
   }
 
-  /** Convenience: df(text) -> df + keep/first_reject + score_<name> cols. */
+  /** Convenience: df(text) -> df + keep/first_reject + score_<name> cols.
+    *
+    * The verdict UDF is marked nondeterministic ON PURPOSE (it is pure):
+    * that stops Catalyst from duplicating the expensive 28-filter
+    * evaluation when a downstream `filter(keep)` would otherwise be
+    * pushed beneath the projection (observed: kept rows evaluated the
+    * cascade twice — once in the pushed Filter, once in the Project).
+    */
   def score(df: DataFrame, filters: Array[DocFilter] = HeuristicFilters.englishCascade,
             textCol: String = "text", explodeScores: Boolean = false): DataFrame = {
     val fs = filters
     val u = udf((text: String) => {
       if (text == null) Verdict(keep = false, "null_text", Array.fill(fs.length)(Double.NaN))
       else evaluate(fs, text)
-    })
+    }).asNondeterministic()
     val withV = df.withColumn("_verdict", u(col(textCol)))
     val base = withV
       .withColumn("keep", col("_verdict.keep"))

@@ -2,14 +2,30 @@ package graft.filters
 
 import graft.text.{Constants, PyText, TextUtils}
 
+/** Per-document tokenization cache: words/sentences/paragraphs are
+  * computed at most once per document no matter how many cascade filters
+  * consume them (the Spark-side analogue of the reference's
+  * `self._sentences`/`self._paragraphs` caching hooks). This is the
+  * dominant allocation in the cascade hot path — sharing it roughly
+  * halves per-doc cost and GC pressure at high thread counts.
+  */
+final class DocCtx(val text: String) {
+  lazy val words: Array[String] = TextUtils.words(PyText.strip(text))
+  lazy val sentences: Array[String] = TextUtils.sentences(text)
+  lazy val paragraphs: Array[String] = TextUtils.paragraphs(text)
+}
+
 /** A document-level quality filter: score + keep decision.
   * Mirrors the reference DocumentFilter contract
   * (stages/text/filters/doc_filter.py:18-104) as a pure Scala trait —
-  * stateless, thread-safe, executor-side.
+  * stateless, thread-safe, executor-side. Filters that consume
+  * words/sentences/paragraphs override scoreCtx to share the per-doc
+  * tokenization.
   */
 trait DocFilter extends Serializable {
   def name: String
-  def score(text: String): Double
+  def score(text: String): Double = scoreCtx(new DocCtx(text))
+  def scoreCtx(ctx: DocCtx): Double
   def keep(score: Double): Boolean
   final def keepDocument(text: String): Boolean = keep(score(text))
 }
@@ -29,7 +45,8 @@ object HeuristicFilters {
   /** heuristic_filter.py:47-65 — keep iff non-alphanumeric ratio ≤ 0.25. */
   final case class NonAlphaNumeric(cutoff: Double = 0.25) extends DocFilter {
     val name = "alpha_numeric"
-    def score(text: String): Double = {
+    def scoreCtx(ctx: DocCtx): Double = {
+      val text = ctx.text
       val nchar = PyText.len(text)
       if (nchar == 0) return 1.0
       var alnum = 0
@@ -49,8 +66,8 @@ object HeuristicFilters {
     */
   final case class SymbolsToWords(cutoff: Double = 0.1) extends DocFilter {
     val name = "symbol_to_word"
-    def score(text: String): Double = {
-      val ws = TextUtils.words(PyText.strip(text))
+    def scoreCtx(ctx: DocCtx): Double = {
+      val ws = ctx.words
       if (ws.isEmpty) return 0.0
       var symbolWords = 0
       var i = 0
@@ -77,7 +94,8 @@ object HeuristicFilters {
   /** heuristic_filter.py:100-116 — digit chars / nchar ≤ 0.15. */
   final case class Numbers(cutoff: Double = 0.15) extends DocFilter {
     val name = "numbers_ratio"
-    def score(text: String): Double = {
+    def scoreCtx(ctx: DocCtx): Double = {
+      val text = ctx.text
       val nchar = PyText.len(text)
       if (nchar == 0) return 1.0
       var digits = 0
@@ -95,9 +113,12 @@ object HeuristicFilters {
   /** heuristic_filter.py:119-137 — chars inside http(s) URL matches / nchar ≤ 0.2. */
   final case class Urls(cutoff: Double = 0.2) extends DocFilter {
     val name = "urls_ratio"
-    def score(text: String): Double = {
+    def scoreCtx(ctx: DocCtx): Double = {
+      val text = ctx.text
       val nchar = PyText.len(text)
       if (nchar == 0) return 1.0
+      // cheap pre-check: regex engine only engages if "http" occurs
+      if (!text.contains("http")) return 0.0
       val m = Constants.urlPattern.matcher(text)
       var urlChars = 0
       while (m.find()) urlChars += PyText.len(m.group())
@@ -111,8 +132,8 @@ object HeuristicFilters {
     */
   final case class Bullets(cutoff: Double = 0.9) extends DocFilter {
     val name = "bullet_ratio"
-    def score(text: String): Double = {
-      val sents = TextUtils.sentences(text)
+    def scoreCtx(ctx: DocCtx): Double = {
+      val sents = ctx.sentences
       if (sents.isEmpty) return 1.0
       var bulletLines = 0
       var i = 0
@@ -129,13 +150,15 @@ object HeuristicFilters {
   /** heuristic_filter.py:169-188 — whitespace chars (\t\n\r\b' ') / nchar ≤ 0.25. */
   final case class WhiteSpace(cutoff: Double = 0.25) extends DocFilter {
     val name = "white_space"
-    def score(text: String): Double = {
+    def scoreCtx(ctx: DocCtx): Double = {
+      val text = ctx.text
       val nchar = PyText.len(text)
       if (nchar == 0) return 1.0
       var ws = 0
       var i = 0
       while (i < text.length) {
-        if (Constants.whiteSpaceList.contains(text.charAt(i))) ws += 1
+        val c = text.charAt(i)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\b') ws += 1
         i += 1
       }
       ws.toDouble / nchar
@@ -146,7 +169,8 @@ object HeuristicFilters {
   /** heuristic_filter.py:191-207 — bracket chars / nchar ≤ 0.1. */
   final case class Parentheses(cutoff: Double = 0.1) extends DocFilter {
     val name = "parentheses_ratio"
-    def score(text: String): Double = {
+    def scoreCtx(ctx: DocCtx): Double = {
+      val text = ctx.text
       val nchar = PyText.len(text)
       if (nchar == 0) return 1.0
       var parens = 0
@@ -165,8 +189,8 @@ object HeuristicFilters {
     */
   final case class LongWord(maxWordLength: Int = 1000) extends DocFilter {
     val name = "max_word_length"
-    def score(text: String): Double = {
-      val ws = TextUtils.words(PyText.strip(text))
+    def scoreCtx(ctx: DocCtx): Double = {
+      val ws = ctx.words
       if (ws.isEmpty) return (maxWordLength + 1).toDouble
       var mx = 0
       var i = 0
@@ -179,8 +203,7 @@ object HeuristicFilters {
   /** heuristic_filter.py:235-256 — 50 ≤ word count ≤ 100000. */
   final case class WordCount(minWords: Int = 50, maxWords: Int = 100000) extends DocFilter {
     val name = "word_count"
-    def score(text: String): Double =
-      TextUtils.words(PyText.strip(text)).length.toDouble
+    def scoreCtx(ctx: DocCtx): Double = ctx.words.length.toDouble
     def keep(s: Double): Boolean = minWords <= s && s <= maxWords
   }
 
@@ -189,8 +212,8 @@ object HeuristicFilters {
     */
   final case class BoilerPlateString(cutoff: Double = 0.4) extends DocFilter {
     val name = "boilerplate_string_ratio"
-    def score(text: String): Double = {
-      val paras = TextUtils.paragraphs(text)
+    def scoreCtx(ctx: DocCtx): Double = {
+      val paras = ctx.paragraphs
       var count = 0
       var i = 0
       while (i < paras.length) {
@@ -209,8 +232,8 @@ object HeuristicFilters {
     */
   final case class MeanWordLength(minLen: Double = 3, maxLen: Double = 10) extends DocFilter {
     val name = "mean_word_length"
-    def score(text: String): Double = {
-      val ws = TextUtils.words(PyText.strip(text))
+    def scoreCtx(ctx: DocCtx): Double = {
+      val ws = ctx.words
       if (ws.isEmpty) return 0.0
       var sum = 0L
       var i = 0
@@ -225,10 +248,14 @@ object HeuristicFilters {
     */
   final case class RepeatedLines(cutoff: Double = 0.7) extends DocFilter {
     val name = "repeated_lines"
-    def score(text: String): Double = {
-      val sents = TextUtils.sentences(text)
+    def scoreCtx(ctx: DocCtx): Double = {
+      val sents = ctx.sentences
       if (sents.isEmpty) return 0.0
-      sents.distinct.length.toDouble / sents.length
+      val seen = new java.util.HashSet[String]()
+      var uniq = 0
+      var i = 0
+      while (i < sents.length) { if (seen.add(sents(i))) uniq += 1; i += 1 }
+      uniq.toDouble / sents.length
     }
     def keep(s: Double): Boolean = s >= cutoff
   }
@@ -236,9 +263,13 @@ object HeuristicFilters {
   /** heuristic_filter.py:350-369 — unique paragraphs / paragraphs ≥ 0.7. */
   final case class RepeatedParagraphs(cutoff: Double = 0.7) extends DocFilter {
     val name = "repeated_paragraphs"
-    def score(text: String): Double = {
-      val paras = TextUtils.paragraphs(text)
-      paras.distinct.length.toDouble / paras.length
+    def scoreCtx(ctx: DocCtx): Double = {
+      val paras = ctx.paragraphs
+      val seen = new java.util.HashSet[String]()
+      var uniq = 0
+      var i = 0
+      while (i < paras.length) { if (seen.add(paras(i))) uniq += 1; i += 1 }
+      uniq.toDouble / paras.length
     }
     def keep(s: Double): Boolean = s >= cutoff
   }
@@ -248,8 +279,8 @@ object HeuristicFilters {
     */
   final case class RepeatedLinesByChar(cutoff: Double = 0.8) extends DocFilter {
     val name = "repeated_lines_char"
-    def score(text: String): Double = {
-      val sents = TextUtils.sentences(text)
+    def scoreCtx(ctx: DocCtx): Double = {
+      val sents = ctx.sentences
       var total = 0L
       var i = 0
       while (i < sents.length) { total += PyText.len(sents(i)); i += 1 }
@@ -271,8 +302,8 @@ object HeuristicFilters {
     */
   final case class RepeatedParagraphsByChar(cutoff: Double = 0.8) extends DocFilter {
     val name = "repeated_paragraphs_char"
-    def score(text: String): Double = {
-      val paras = TextUtils.paragraphs(text)
+    def scoreCtx(ctx: DocCtx): Double = {
+      val paras = ctx.paragraphs
       var total = 0L
       var i = 0
       while (i < paras.length) { total += PyText.len(paras(i)); i += 1 }
@@ -300,8 +331,9 @@ object HeuristicFilters {
     */
   final case class RepeatingTopNGrams(n: Int, cutoff: Double) extends DocFilter {
     val name = s"repeating_top_${n}grams"
-    def score(text: String): Double = {
-      val ws = TextUtils.words(PyText.strip(text))
+    def scoreCtx(ctx: DocCtx): Double = {
+      val text = ctx.text
+      val ws = ctx.words
       if (ws.length < n) return 1.0
       val counts = new java.util.HashMap[String, Int]()
       var best: String = null
@@ -331,29 +363,47 @@ object HeuristicFilters {
 
   /** heuristic_filter.py:461-507 — chars inside duplicated n-grams
     * (overlap-adjusted, ported verbatim from :488-500) / nchar ≤ cutoff.
+    * Hashes n-gram word slices instead of building joined strings —
+    * no per-window string allocation.
     */
   final case class RepeatingDuplicateNGrams(n: Int, cutoff: Double) extends DocFilter {
     val name = s"repeating_dup_${n}gram"
-    def score(text: String): Double = {
-      val ws = TextUtils.words(PyText.strip(text))
+    def scoreCtx(ctx: DocCtx): Double = {
+      val text = ctx.text
+      val ws = ctx.words
       if (ws.length < n) return 1.0
-      val counts = new java.util.HashMap[String, Int]()
+      // seen-set over ngram identity: use a composite 128-bit-ish key of
+      // per-word hashes to avoid building the joined string per window
+      val counts = new java.util.HashMap[NGramKey, Int]()
+      // two independent word hashes: a false ngram merge needs a
+      // simultaneous collision in both (~2^-64 per pair)
+      val wh1 = new Array[Long](ws.length)
+      val wh2 = new Array[Long](ws.length)
+      var w = 0
+      while (w < ws.length) {
+        val word = ws(w)
+        wh1(w) = word.hashCode.toLong
+        var f = 0xcbf29ce484222325L
+        var c = 0
+        while (c < word.length) { f ^= word.charAt(c); f *= 0x100000001b3L; c += 1 }
+        wh2(w) = f
+        w += 1
+      }
       var duplicatedNchar = 0L
       var overlapping = 0
-      val sb = new java.lang.StringBuilder()
       var i = 0
       while (i <= ws.length - n) {
-        sb.setLength(0)
+        var h1 = 1125899906842597L
+        var h2 = 0x9e3779b97f4a7c15L
         var j = 0
         while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(ws(i + j))
+          h1 = h1 * 31 + wh1(i + j)
+          h2 = (h2 ^ wh2(i + j)) * 0xff51afd7ed558ccdL
           j += 1
         }
-        val g = sb.toString
-        val c = counts.merge(g, 1, (a, b) => a + b)
+        val key = new NGramKey(h1, h2)
+        val c = counts.merge(key, 1, (a, b) => a + b)
         if (c > 1) {
-          // chars in this ngram not already counted by the previous overlap
           var dup = 0L
           var k = overlapping
           while (k < n) { dup += PyText.len(ws(i + k)); k += 1 }
@@ -371,13 +421,21 @@ object HeuristicFilters {
     def keep(s: Double): Boolean = s <= cutoff
   }
 
+  private final class NGramKey(val h1: Long, val h2: Long) {
+    override def hashCode: Int = (h1 ^ (h1 >>> 32) ^ h2).toInt
+    override def equals(o: Any): Boolean = o match {
+      case k: NGramKey => k.h1 == h1 && k.h2 == h2
+      case _ => false
+    }
+  }
+
   /** heuristic_filter.py:510-530 — sentences not ending in .?!"' / sentences
     * ≤ 0.85. Empty → 1.0 (drop).
     */
   final case class Punctuation(cutoff: Double = 0.85) extends DocFilter {
     val name = "punctuation"
-    def score(text: String): Double = {
-      val sents = TextUtils.sentences(text)
+    def scoreCtx(ctx: DocCtx): Double = {
+      val sents = ctx.sentences
       if (sents.isEmpty) return 1.0
       var noEnd = 0
       var i = 0
@@ -396,8 +454,8 @@ object HeuristicFilters {
     */
   final case class Ellipsis(cutoff: Double = 0.3) extends DocFilter {
     val name = "ellipsis"
-    def score(text: String): Double = {
-      val sents = TextUtils.sentences(text)
+    def scoreCtx(ctx: DocCtx): Double = {
+      val sents = ctx.sentences
       if (sents.isEmpty) return 1.0
       var count = 0
       var i = 0
@@ -416,8 +474,8 @@ object HeuristicFilters {
     */
   final case class CommonEnglishWords(cutoff: Int = 2, stopAtFalse: Boolean = true) extends DocFilter {
     val name = "common_english_words"
-    def score(text: String): Double = {
-      val ws = TextUtils.words(PyText.strip(text))
+    def scoreCtx(ctx: DocCtx): Double = {
+      val ws = ctx.words
       var count = 0
       var i = 0
       while (i < ws.length) {
@@ -435,8 +493,8 @@ object HeuristicFilters {
     */
   final case class WordsWithoutAlphabets(cutoff: Double = 0.8) extends DocFilter {
     val name = "words_without_alphabets"
-    def score(text: String): Double = {
-      val ws = TextUtils.words(PyText.strip(text))
+    def scoreCtx(ctx: DocCtx): Double = {
+      val ws = ctx.words
       if (ws.isEmpty) return 0.0
       var withAlpha = 0
       var i = 0
@@ -462,8 +520,9 @@ object HeuristicFilters {
     */
   final case class PornographicUrls() extends DocFilter {
     val name = "pornographic_urls"
-    def score(text: String): Double = {
-      val m = Constants.urlPattern.matcher(text)
+    def scoreCtx(ctx: DocCtx): Double = {
+      if (!ctx.text.contains("http")) return 0.0
+      val m = Constants.urlPattern.matcher(ctx.text)
       while (m.find()) if (m.group().contains("porn")) return 1.0
       0.0
     }
@@ -474,10 +533,10 @@ object HeuristicFilters {
   final case class Substring(substring: String, position: String) extends DocFilter {
     require(Set("prefix", "suffix", "any").contains(position))
     val name = s"substring_$position"
-    def score(text: String): Double = position match {
-      case "prefix" => if (text.startsWith(substring)) 1.0 else 0.0
-      case "suffix" => if (text.endsWith(substring)) 1.0 else 0.0
-      case _        => if (text.contains(substring)) 1.0 else 0.0
+    def scoreCtx(ctx: DocCtx): Double = position match {
+      case "prefix" => if (ctx.text.startsWith(substring)) 1.0 else 0.0
+      case "suffix" => if (ctx.text.endsWith(substring)) 1.0 else 0.0
+      case _        => if (ctx.text.contains(substring)) 1.0 else 0.0
     }
     def keep(s: Double): Boolean = s == 1.0
   }
@@ -489,7 +548,8 @@ object HeuristicFilters {
     */
   final case class Histogram(chars: Set[Char], threshold: Double = 0.8) extends DocFilter {
     val name = "histogram"
-    def score(text: String): Double = {
+    def scoreCtx(ctx: DocCtx): Double = {
+      val text = ctx.text
       val stripped = PyText.strip(text)
       var cnt = 0
       var i = 0
@@ -504,18 +564,18 @@ object HeuristicFilters {
     def keep(s: Double): Boolean = s == 1.0
   }
 
-  /** Whitespace token count filter (heuristic_filter.py:641-703 uses an HF
+  /** Token count filter (heuristic_filter.py:641-703 uses an HF
     * tokenizer; offline we plug any `String => Int` tokenizer; default is
     * the BPE-ish regex tokenizer in [[graft.analysis.TextStats]]).
     */
   final case class TokenCount(countFn: String => Int, minTokens: Int = 0,
                               maxTokens: Int = Int.MaxValue) extends DocFilter {
     val name = "token_count"
-    def score(text: String): Double = countFn(text).toDouble
+    def scoreCtx(ctx: DocCtx): Double = countFn(ctx.text).toDouble
     def keep(s: Double): Boolean = minTokens <= s && s <= maxTokens
   }
 
-  /** The 27-stage English cascade, exact order and thresholds of
+  /** The 28-stage English cascade, exact order and thresholds of
     * config/text/heuristic_filter_english_pipeline.yaml:50-239.
     */
   val englishCascade: Array[DocFilter] = Array(

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.filters.{Cascade, HeuristicFilters}
-import graft.scrub.{Modifiers, PiiScrub}
+import graft.scrub.PiiScrub
 import graft.analysis.TextStats
 import graft.extract.HtmlExtract
 
@@ -17,27 +17,49 @@ import graft.extract.HtmlExtract
   *   4. PII scrub (emails → IPs → phones) + profanity scrub on kept rows
   *   5. quality + token-count annotations
   *
-  * One single codegen'd pass: no shuffle anywhere — every step is a
-  * projection or filter, so the 100 TB plan is scan → compute → write,
-  * partitioned by input splits. Skew is irrelevant until the optional
-  * dedup stage (which shuffles only (id, hash)).
+  * All five steps run inside ONE UDF call per row (one text handoff, one
+  * codegen stage, shared tokenization): no shuffle anywhere — the
+  * 100 TB plan is scan → compute → write, partitioned by input splits.
+  * Skew is irrelevant until the optional dedup stage (which shuffles
+  * only (id, hash)).
   */
 object CurationPipeline {
 
-  /** text-based curation: input must have (url or doc_id, text). */
-  def curate(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val langUdf = udf((t: String) => TextStats.heuristicLangId(t))
-    val scrubUdf = udf((t: String) => PiiScrub.defaultScrubber.scrub(PiiScrub.scrubPii(t)))
-    val qualityUdf = udf((t: String) => TextStats.qualityScore(t))
-    val tokUdf = udf((t: String) => TextStats.bpeTokenCount(t))
+  final case class Annotations(
+      keep: Boolean,
+      firstReject: String,
+      langPred: String,
+      langScore: Double,
+      quality: Double,
+      tokens: Int,
+      scrubbed: String)
 
-    val scored = Cascade.score(df, HeuristicFilters.englishCascade, textCol)
-    scored
-      .withColumn("lang_pred", langUdf(col(textCol)))
-      .withColumn("scrubbed_text",
-        when(col("keep"), scrubUdf(col(textCol))).otherwise(lit(null).cast("string")))
-      .withColumn("quality_score", qualityUdf(col(textCol)))
-      .withColumn("token_count", tokUdf(col(textCol)))
+  def annotate(text: String): Annotations = {
+    if (text == null) return Annotations(keep = false, "null_text", "und", 0.0, 0.0, 0, null)
+    val v = Cascade.evaluate(HeuristicFilters.englishCascade, text)
+    val (langPred, langScore) = TextStats.heuristicLangId(text)
+    val quality = TextStats.qualityScore(text)
+    val tokens = TextStats.bpeTokenCount(text)
+    // scrubbing only pays for kept rows (dropped rows ship no text)
+    val scrubbed =
+      if (v.keep) PiiScrub.defaultScrubber.scrub(PiiScrub.scrubPii(text)) else null
+    Annotations(v.keep, v.firstReject, langPred, langScore, quality, tokens, scrubbed)
+  }
+
+  /** text-based curation: input must have a text column. The annotation
+    * UDF is marked nondeterministic (it is pure) so Catalyst never
+    * re-evaluates it per extracted field or beneath a pushed filter.
+    */
+  def curate(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val u = udf((t: String) => annotate(t)).asNondeterministic()
+    df.withColumn("_ann", u(col(textCol)))
+      .withColumn("keep", col("_ann.keep"))
+      .withColumn("first_reject", col("_ann.firstReject"))
+      .withColumn("lang_pred", struct(col("_ann.langPred").as("_1"), col("_ann.langScore").as("_2")))
+      .withColumn("scrubbed_text", col("_ann.scrubbed"))
+      .withColumn("quality_score", col("_ann.quality"))
+      .withColumn("token_count", col("_ann.tokens"))
+      .drop("_ann")
   }
 
   /** html-bytes based: decode + extract first, drop rows that fail
@@ -56,4 +78,9 @@ object CurationPipeline {
     curated.filter(col("keep"))
       .drop("text")
       .withColumnRenamed("scrubbed_text", "text")
+
+  /** Per-filter drop metrics (the reference's StagePerfStats analogue). */
+  def metrics(curated: DataFrame): DataFrame =
+    curated.groupBy(coalesce(col("first_reject"), lit("__kept__")).as("filter"))
+      .agg(count(lit(1)).as("docs"))
 }
