@@ -271,7 +271,88 @@ object SparkEntry {
       graft.multimodal.BinaryOps.withMediaMeta(docs, "payload")
         .select(col("doc_id"), col("meta.byte_length").as("byte_length"),
           col("meta.sha256").as("sha256"))
-    })
+    }),
+
+    // ================= model-backed filters =================
+    "lm_perplexity" -> ((s, dir) => {
+      // train on even doc_ids (driver-side, deterministic), score all
+      val docs = tbl(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .select("text").collect().map(_.getString(0)).toSeq
+      val lm = graft.lm.NGramLM.train(train, order = 3)
+      graft.langid.FastTextFilters.withPerplexity(docs, lm)
+        .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
+    }),
+
+    "ft_langid" -> ((s, dir) => {
+      // hashed char-ngram linear model trained on the table's own
+      // (lang, text) pairs; fastText-LangId contract output
+      val docs = tbl(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val model = graft.langid.CharNgramLangId.train(train, buckets = 1 << 14)
+      graft.langid.FastTextFilters.withLangId(docs, model)
+        .select(col("doc_id"), col("langid.lang").as("lang_pred"),
+          round(col("langid.score"), 4).as("lang_score"))
+    }),
+
+    "ft_quality" -> ((s, dir) => {
+      // stochastic Pareto keep (deterministic per-row sampling)
+      val docs = tbl(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 7 === 0)
+        .select("source", "text").collect()
+        .map(r => (if (r.getString(0).length <= 4) "hq" else "lq", r.getString(1))).toSeq
+      val model = graft.langid.CharNgramLangId.train(train, buckets = 1 << 14)
+      graft.langid.FastTextFilters.filterByQuality(docs, model)
+        .select(col("doc_id"), round(col("fasttext_quality"), 4).as("quality"))
+    }),
+
+    // ================= semantic dedup / IVF ANN =================
+    "semantic_dedup_ids" -> ((s, dir) =>
+      graft.dedup.SemanticDedup.removalIds(tbl(s, dir, "embeddings"), k = 8, eps = 0.7)),
+
+    "ivf_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      graft.sim.Knn.ivfTopK(emb, q, k = 5, cells = 8, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+    }),
+
+    // ================= unicode clean / warc / rechunk / salting =================
+    "mod_unicode_clean" -> ((s, dir) => {
+      val u = udf((t: String) => graft.scrub.UnicodeClean.clean(t))
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr("replace(text, 'spark', concat('caf', char(195), char(169), ' x'))"))
+        .select(col("doc_id"), u(col("_in")).as("cleaned"))
+    }),
+
+    "warc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val warc = graft.sources.WarcParser.buildWarc(
+            Seq((s"http://w/$id", text.getBytes("UTF-8"))))
+          val rec = graft.sources.WarcParser.responses(warc).head
+          (id, rec.url, new String(rec.content, "UTF-8"))
+        }
+        .toDF("doc_id", "url", "content")
+    }),
+
+    "split_rechunk" -> ((s, dir) => {
+      // split -> joinMaxLength(64) -> reassemble; content-preserving
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val split = graft.pipeline.Stages.split(" ")(docs)
+      val chunked = graft.pipeline.Stages.joinMaxLength(" ", 64)(split)
+      chunked.groupBy("doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("text").as("t")))),
+            x => x.getField("t")), " ").as("reassembled"))
+    }),
+
+    "salted_count" -> ((s, dir) =>
+      graft.pipeline.Salting.saltedCount(
+        tbl(s, dir, "documents"), "lang", "doc_id", saltBuckets = 8))
   )
 
   // ---------- DuckDB oracles ----------
@@ -453,7 +534,21 @@ object SparkEntry {
            WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.3""",
 
       "mm_meta" ->
-        "SELECT doc_id, octet_length(encode(text)) AS byte_length, sha256(text) AS sha256 FROM documents"
+        "SELECT doc_id, octet_length(encode(text)) AS byte_length, sha256(text) AS sha256 FROM documents",
+
+      "mod_unicode_clean" ->
+        // injected 'Ã©' (chr195+chr169 = cp1252-mojibake of é) must come
+        // back as the real é (chr 233); ASCII text otherwise unchanged
+        "SELECT doc_id, replace(text, 'spark', 'caf' || chr(233) || ' x') AS cleaned FROM documents",
+
+      "warc_roundtrip" ->
+        "SELECT doc_id, 'http://w/' || CAST(doc_id AS VARCHAR) AS url, text AS content FROM documents",
+
+      "split_rechunk" ->
+        "SELECT doc_id, text AS reassembled FROM documents",
+
+      "salted_count" ->
+        "SELECT lang, count(*) AS cnt FROM documents GROUP BY 1"
     )
   }
 

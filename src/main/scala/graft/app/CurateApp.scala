@@ -1,0 +1,58 @@
+package graft.app
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.ManifestParquetIO
+import graft.pipeline.CurationPipeline
+
+/** spark-submit entry point: the full curation job with partitioned
+  * output, per-filter metrics, per-unit lineage, and exact resume.
+  *
+  *   spark-submit --class graft.app.CurateApp engine.jar \
+  *     <inputPath> <outputRoot> [unitBuckets]
+  *
+  * Production posture (north rule):
+  *   - input: Iceberg table of cc pages (here: parquet path; all table
+  *     access isolated behind TableIO so the Iceberg runtime jar swap is
+  *     a one-liner)
+  *   - work splits into `unitBuckets` url-hash units; each unit's output
+  *     commits atomically with a lineage row (unit, rows) — a killed run
+  *     resumes processing only uncommitted units
+  *   - output partitioned by (lang) — days(warc_ts) too when the column
+  *     exists — so downstream training-data reads prune partitions
+  *   - kept docs carry scrubbed text; dropped docs are not shipped
+  *   - per-filter drop metrics written alongside (the reference's
+  *     StagePerfStats table, utils/performance_utils.py:31-60)
+  */
+object CurateApp {
+
+  def main(args: Array[String]): Unit = {
+    val input = args(0)
+    val outRoot = args(1)
+    val unitBuckets = if (args.length > 2) args(2).toInt else 64
+
+    val spark = SparkSession.builder()
+      .appName("graft-curate")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val io = new ManifestParquetIO(outRoot)
+    val pages = spark.read.parquet(input)
+      .withColumn("unit", pmod(xxhash64(col("url")), lit(unitBuckets)).cast("string"))
+
+    io.runCheckpointed(pages, "unit", "curated") { part =>
+      CurationPipeline.keptOutput(CurationPipeline.curate(part)).drop("unit")
+    }
+
+    // per-filter metrics over the full input (one narrow agg pass)
+    CurationPipeline.metrics(CurationPipeline.curate(pages))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outRoot/metrics")
+
+    val kept = spark.read.parquet(s"$outRoot/curated").count()
+    println(s"curated: kept $kept docs -> $outRoot/curated (lineage: $outRoot/curated_manifest.jsonl)")
+    spark.stop()
+  }
+}

@@ -85,6 +85,35 @@ object Stages {
         separator).as(textCol))
   }
 
+  /** DocumentJoiner max_length mode (modules/joiner.py:24-193): rejoin
+    * segments in order but re-chunk greedily so each output document stays
+    * ≤ maxLength characters; emits (id, chunk_id, text) — one row per
+    * chunk. Oversized single segments become their own chunk.
+    */
+  def joinMaxLength(separator: String, maxLength: Int, idCol: String = "doc_id",
+                    textCol: String = "text", segmentIdCol: String = "segment_id"): Stage = { df =>
+    val chunker = udf((segs: Seq[String]) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      for (s <- segs) {
+        val addLen = if (cur.isEmpty) s.length else separator.length + s.length
+        if (cur.nonEmpty && cur.length + addLen > maxLength) {
+          out += cur.toString
+          cur.clear()
+        }
+        if (cur.nonEmpty) cur ++= separator
+        cur ++= s
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.toSeq
+    })
+    df.groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col(segmentIdCol), col(textCol).as("t")))),
+        s => s.getField("t")).as("_segs"))
+      .select(col(idCol), posexplode(chunker(col("_segs"))).as(Seq("chunk_id", textCol)))
+  }
+
   /** Chain stages left-to-right. */
   def pipeline(stages: Stage*): Stage = df => stages.foldLeft(df)((d, s) => s(d))
 }

@@ -109,6 +109,51 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** IVF-style ANN: KMeans centroids over the corpus (spherical via L2
+    * normalization), each corpus row assigned to its cell; a query probes
+    * the nProbe nearest centroids and exact-reranks only those cells.
+    * The scale path when the corpus has cluster structure: candidates
+    * shrink by ~k/nProbe while recall stays high.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
+              nProbe: Int = 4, seed: Long = 42,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val toVec = udf((v: Seq[Float]) => {
+      val arr = v.map(_.toDouble).toArray
+      val n = math.sqrt(arr.map(x => x * x).sum)
+      Vectors.dense(if (n == 0) arr else arr.map(_ / n))
+    })
+    val feat = corpus.withColumn("_f", toVec(col(vecCol)))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(seed).setFeaturesCol("_f").setPredictionCol("cell")
+      .setMaxIter(10).fit(feat)
+    val assigned = model.transform(feat).drop("_f")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("cell"))
+    val centroids = model.clusterCenters.zipWithIndex
+    val probeUdf = udf((v: Seq[Float]) => {
+      val arr = v.map(_.toDouble).toArray
+      val n = math.sqrt(arr.map(x => x * x).sum)
+      val q = if (n == 0) arr else arr.map(_ / n)
+      centroids.map { case (c: MlVector, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < q.length && j < c.size) { d += (q(j) - c(j)) * (q(j) - c(j)); j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    })
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("cell", explode(probeUdf(col("_qv")))))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(q, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosineUdf(col("_cv"), col("_qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
     * cluster or label column): exact cosine inside each block — the
     * "semantic dedup pairwise" shape of the reference
