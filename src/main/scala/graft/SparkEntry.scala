@@ -352,7 +352,10 @@ object SparkEntry {
 
     "salted_count" -> ((s, dir) =>
       graft.pipeline.Salting.saltedCount(
-        tbl(s, dir, "documents"), "lang", "doc_id", saltBuckets = 8))
+        tbl(s, dir, "documents"), "lang", "doc_id", saltBuckets = 8)),
+
+    "q8_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessionizeBatch(tbl(s, dir, "events"), gapMinutes = 30))
   )
 
   // ---------- DuckDB oracles ----------
@@ -548,7 +551,21 @@ object SparkEntry {
         "SELECT doc_id, text AS reassembled FROM documents",
 
       "salted_count" ->
-        "SELECT lang, count(*) AS cnt FROM documents GROUP BY 1"
+        "SELECT lang, count(*) AS cnt FROM documents GROUP BY 1",
+
+      "q8_sessionize" ->
+        """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS events, round(sum(value), 2) AS total_value
+           FROM (
+             SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+             FROM (
+               SELECT *, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+               FROM (
+                 SELECT event_id, ts, user_id, value,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                 FROM events)))
+           GROUP BY user_id, session_id"""
     )
   }
 

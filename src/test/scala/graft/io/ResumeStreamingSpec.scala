@@ -53,6 +53,42 @@ class ResumeStreamingSpec extends AnyFunSuite {
       batch.select("url").as[String].collect().toSet)
   }
 
+  test("sessionization: streaming flatMapGroupsWithState matches batch windows") {
+    import graft.streaming.Sessionize
+    val tmp = Files.createTempDirectory("sess").toString
+    // testdata timestamps are TIMESTAMP_NTZ (pyarrow, isAdjustedToUTC
+    // false); the typed Event encoder needs TIMESTAMP — cast once here
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // one file -> one micro-batch: with several files AvailableNow
+    // triggers per-file batches in file order, and a later file carrying
+    // older events falls behind the watermark and is dropped (correct
+    // streaming semantics, but not what this equivalence test probes)
+    events.coalesce(1).write.parquet(s"$tmp/in")
+
+    val batch = Sessionize.sessionizeBatch(spark.read.parquet(s"$tmp/in")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
+
+    val stream = spark.readStream.schema(events.schema).parquet(s"$tmp/in")
+      .as[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(stream).writeStream
+      .format("memory").queryName("sessions_t").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sessions_t").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4))).toSet
+
+    // append-mode emits only sessions closed by the final watermark; all
+    // emitted sessions must be exact batch sessions, and most sessions
+    // should have been emitted
+    assert(streamed.subsetOf(batch),
+      s"streaming emitted sessions not in batch: ${streamed.diff(batch).take(3)}")
+    assert(streamed.size >= batch.size / 2, s"only ${streamed.size}/${batch.size} sessions emitted")
+  }
+
   test("watermarked keep-rate aggregation compiles to a streaming plan") {
     val tmp = Files.createTempDirectory("stream2").toString
     val pages = spark.read.parquet("src/test/resources/cc_pages_tiny").limit(200)
