@@ -31,10 +31,13 @@ object CurateApp {
     val outRoot = args(1)
     val unitBuckets = if (args.length > 2) args(2).toInt else 64
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-curate")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // spark-submit injects spark.master; local runs fall back
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
