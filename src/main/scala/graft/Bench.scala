@@ -48,20 +48,29 @@ object Bench {
     def throughput(label: String, warmup: => Long)(run: => Long): Unit = {
       warmup // JIT + codegen for THIS code path, untimed
       System.gc()
-      val sec = math.min(time(run), time(run)) // best-of-two: C2 ramps during pass 1
+      // best-of-three: C2 compilation ramps across early passes and this
+      // sandbox host is noisy (same pass varies 2x run-to-run); min is
+      // the statistic robust to external interference
+      val sec = Seq(time(run), time(run), time(run)).min
       results(s"${label}_sec") = sec
       results(s"${label}_docs_per_s") = benchDocs / sec
     }
 
-    throughput("cascade",
-      graft.filters.Cascade.score(warm).filter(col("keep")).count()) {
-      graft.filters.Cascade.score(corpus).filter(col("keep")).count()
-    }
+    // global warmup: one full untimed curate pass compiles the annotate +
+    // cascade paths end to end (a 30k slice is not enough for C2 to
+    // finish ramping — whichever op measured first was eating the ramp)
+    graft.pipeline.CurationPipeline.keptOutput(
+      graft.pipeline.CurationPipeline.curate(corpus)).count()
+
     throughput("curate_full",
       graft.pipeline.CurationPipeline.keptOutput(
         graft.pipeline.CurationPipeline.curate(warm)).count()) {
       graft.pipeline.CurationPipeline.keptOutput(
         graft.pipeline.CurationPipeline.curate(corpus)).count()
+    }
+    throughput("cascade",
+      graft.filters.Cascade.score(warm).filter(col("keep")).count()) {
+      graft.filters.Cascade.score(corpus).filter(col("keep")).count()
     }
     throughput("dedup_exact",
       graft.dedup.ExactDedup.removalIds(warm, idCol = "url", textCol = "text").count()) {
