@@ -27,14 +27,14 @@ object ConnectedComponents {
       .distinct()
       .cache()
 
-    def checksum(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)), sum($"src"), sum($"dst")).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
+    // XOR fingerprint, not sum: ids may be full-range xxhash64 values and
+    // summing them overflows under ANSI mode (Spark 4 default)
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    var prev = (-1L, 0L, 0L)
+    var prev = (-1L, 0L)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
