@@ -156,6 +156,8 @@ object SparkEntry {
     "hf_ellipsis" -> hfQuery(HF.Ellipsis(), ellipsisIn(sparkCh)),
     "hf_bullets" -> hfQuery(HF.Bullets(), bulletsIn(sparkCh)),
     "hf_words_without_alphabets" -> hfQuery(HF.WordsWithoutAlphabets(), numIn),
+    "hf_histogram" -> hfQuery(HF.Histogram(
+      (('a' to 'z') ++ ('A' to 'Z') ++ Seq(' ', '.')).toSet, 0.8)),
 
     // full cascade (rows-only check here; exact reference parity in tests)
     "cascade_en" -> ((s, dir) => {
@@ -477,6 +479,17 @@ object SparkEntry {
         s"CAST(len(list_filter($words, w -> regexp_matches(w, '[[:alpha:]]'))) AS DOUBLE) / $nw",
         s"CAST(len(list_filter($words, w -> regexp_matches(w, '[[:alpha:]]'))) AS DOUBLE) / $nw >= 0.8",
         numIn),
+
+      "hf_histogram" -> hfRatioOracle(
+        "CASE WHEN CAST(length(regexp_replace(trim(t, ' ' || chr(9) || chr(10) || chr(13)), '[^a-zA-Z .]', '', 'g')) AS DOUBLE) / length(t) > 0.8 THEN 1.0 ELSE 0.0 END",
+        "CAST(length(regexp_replace(trim(t, ' ' || chr(9) || chr(10) || chr(13)), '[^a-zA-Z .]', '', 'g')) AS DOUBLE) / length(t) > 0.8"),
+
+      "ta_fingerprint" ->
+        """SELECT doc_id,
+             ((list_reduce(list_prepend(0::HUGEINT, [ord(c)::HUGEINT for c in split(text, '')]),
+                           (h, c) -> (h * 257 + c) % 18446744073709551616::HUGEINT)
+               + 9223372036854775808) % 18446744073709551616) - 9223372036854775808 AS fp64
+           FROM documents""",
 
       "scrub_pii" ->
         s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace($piiInDuck,

@@ -21,7 +21,8 @@ class SparkOpsSpec extends AnyFunSuite {
       .select("text").head.getString(0)
     val dupIds = docs.filter(col("text") === dupText)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(dupIds.size == 50, s"planted group size ${dupIds.size}")
+    val expectedGroup = (ccPages.count() / 40).toInt // rows 8, 48, 88, …
+    assert(dupIds.size == expectedGroup, s"planted group size ${dupIds.size} != $expectedGroup")
     // exactly one of the identical-text group survives
     assert(removals.intersect(dupIds).size == dupIds.size - 1,
       s"expected ${dupIds.size - 1} of the planted group removed; got ${removals.intersect(dupIds).size}")
