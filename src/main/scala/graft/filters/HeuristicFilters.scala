@@ -335,24 +335,51 @@ object HeuristicFilters {
       val text = ctx.text
       val ws = ctx.words
       if (ws.length < n) return 1.0
-      val counts = new java.util.HashMap[String, Int]()
-      var best: String = null
+      // count by double-hashed ngram key (no per-window string build);
+      // remember the winner's first occurrence to rebuild its string once
+      val counts = new java.util.HashMap[NGramKey, Int]()
+      val wh1 = new Array[Long](ws.length)
+      val wh2 = new Array[Long](ws.length)
+      var w = 0
+      while (w < ws.length) {
+        val word = ws(w)
+        wh1(w) = word.hashCode.toLong
+        var f = 0xcbf29ce484222325L
+        var c = 0
+        while (c < word.length) { f ^= word.charAt(c); f *= 0x100000001b3L; c += 1 }
+        wh2(w) = f
+        w += 1
+      }
       var bestCount = 0
-      val sb = new java.lang.StringBuilder()
+      var bestPos = 0
+      var bestKey: NGramKey = null
       var i = 0
       while (i <= ws.length - n) {
-        sb.setLength(0)
+        var h1 = 1125899906842597L
+        var h2 = 0x9e3779b97f4a7c15L
         var j = 0
         while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(ws(i + j))
+          h1 = h1 * 31 + wh1(i + j)
+          h2 = (h2 ^ wh2(i + j)) * 0xff51afd7ed558ccdL
           j += 1
         }
-        val g = sb.toString
-        val c = counts.merge(g, 1, (a, b) => a + b)
-        if (c > bestCount) { bestCount = c; best = g }
+        val key = new NGramKey(h1, h2)
+        val c = counts.merge(key, 1, (a, b) => a + b)
+        if (c > bestCount || bestKey == null) {
+          // ties keep the earlier first-occurrence (same winner as the
+          // sequential strictly-greater update over joined strings)
+          if (c > bestCount) { bestCount = c; bestPos = i; bestKey = key }
+        }
         i += 1
       }
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(ws(bestPos + j))
+        j += 1
+      }
+      val best = sb.toString
       val nchar = PyText.len(text)
       if (nchar == 0) return 1.0
       val lenDiff = PyText.countOccurrences(text, best).toLong * PyText.len(best)
