@@ -158,6 +158,10 @@ object SparkEntry {
     "hf_words_without_alphabets" -> hfQuery(HF.WordsWithoutAlphabets(), numIn),
     "hf_histogram" -> hfQuery(HF.Histogram(
       (('a' to 'z') ++ ('A' to 'Z') ++ Seq(' ', '.')).toSet, 0.8)),
+    "cf_alpha" -> hfQuery(graft.filters.CodeFilters.Alpha(), numIn),
+    "cf_num_lines" -> hfQuery(graft.filters.CodeFilters.NumberOfLines(2, 100), linesIn(sparkCh)),
+    "cf_xml_header" -> hfQuery(graft.filters.CodeFilters.XmlHeader(),
+      "CASE WHEN doc_id % 5 = 0 THEN '<?xml version=\"1.0\"?>' || text ELSE text END"),
 
     // full cascade (rows-only check here; exact reference parity in tests)
     "cascade_en" -> ((s, dir) => {
@@ -483,6 +487,21 @@ object SparkEntry {
       "hf_histogram" -> hfRatioOracle(
         "CASE WHEN CAST(length(regexp_replace(trim(t, ' ' || chr(9) || chr(10) || chr(13)), '[^a-zA-Z .]', '', 'g')) AS DOUBLE) / length(t) > 0.8 THEN 1.0 ELSE 0.0 END",
         "CAST(length(regexp_replace(trim(t, ' ' || chr(9) || chr(10) || chr(13)), '[^a-zA-Z .]', '', 'g')) AS DOUBLE) / length(t) > 0.8"),
+
+      "cf_alpha" -> hfRatioOracle(
+        "CAST(length(regexp_replace(t, '[^[:alpha:]]', '', 'g')) AS DOUBLE) / length(t)",
+        "CAST(length(regexp_replace(t, '[^[:alpha:]]', '', 'g')) AS DOUBLE) / length(t) >= 0.25",
+        numIn),
+
+      "cf_num_lines" -> hfRatioOracle(
+        s"CAST(length(t) - length(replace(t, chr(10), '')) + 1 AS DOUBLE)",
+        s"length(t) - length(replace(t, chr(10), '')) + 1 BETWEEN 2 AND 100",
+        linesIn(duckCh)),
+
+      "cf_xml_header" -> hfRatioOracle(
+        "CASE WHEN contains(t[1:100], '<?xml version=') THEN 1.0 ELSE 0.0 END",
+        "NOT contains(t[1:100], '<?xml version=')",
+        "CASE WHEN doc_id % 5 = 0 THEN '<?xml version=\"1.0\"?>' || text ELSE text END"),
 
       "ta_fingerprint" ->
         """SELECT doc_id,
