@@ -45,7 +45,10 @@ object CurateApp {
     val pages = spark.read.parquet(input)
       .withColumn("unit", pmod(xxhash64(col("url")), lit(unitBuckets)).cast("string"))
 
-    io.runCheckpointed(pages, "unit", "curated") { part =>
+    // lang-partitioned output inside each unit (the manifest-parquet
+    // stand-in for Iceberg's PARTITIONED BY (days(warc_ts), lang))
+    val partCols = if (pages.columns.contains("lang")) Seq("lang") else Nil
+    io.runCheckpointed(pages, "unit", "curated", partCols) { part =>
       CurationPipeline.keptOutput(CurationPipeline.curate(part)).drop("unit")
     }
 

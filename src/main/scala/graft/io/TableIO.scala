@@ -62,18 +62,49 @@ final class ManifestParquetIO(root: String) extends TableIO with Serializable {
     * bucketed hash of url, or days(warc_ts)), skip committed units,
     * process and commit the rest one unit at a time. Exact resume: a
     * killed run reprocesses only uncommitted units and the final output
-    * equals a single-run output.
+    * equals a single-run output. `partitionCols` adds hive-style output
+    * partitioning inside each unit (e.g. lang) so downstream reads prune.
     */
-  def runCheckpointed(df: DataFrame, unitCol: String, table: String)
+  def runCheckpointed(df: DataFrame, unitCol: String, table: String,
+                      partitionCols: Seq[String] = Nil)
                      (process: DataFrame => DataFrame): Unit = {
     val spark = df.sparkSession
     val done = committedUnits(table)
     val units = df.select(unitCol).distinct().collect().map(_.get(0).toString).sorted
     for (u <- units if !done.contains(u)) {
       val part = process(df.filter(col(unitCol) === u))
-      part.write.mode(SaveMode.Overwrite).parquet(s"${path(table)}/unit=$u")
+      val w = part.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"${path(table)}/unit=$u")
       val rows = spark.read.parquet(s"${path(table)}/unit=$u").count()
       appendManifest(table, s"""{"event":"unit_commit","table":"$table","unit":"$u","rows":$rows}""")
     }
   }
+}
+
+/** Catalog-table impl of [[TableIO]] over Spark's DataFrameWriterV2 —
+  * the Iceberg-native path (SURVEY.md §7.4 hard part 6). Compiles against
+  * the Spark API alone; at deploy time the cluster adds the Iceberg
+  * runtime jar + a catalog config and these calls become Iceberg atomic
+  * snapshot commits (`PARTITIONED BY (days(warc_ts), lang)` DDL is run
+  * once at table creation). No Iceberg classes are referenced directly,
+  * so the manifest-parquet impl remains the offline test double.
+  */
+final class CatalogTableIO(catalog: String) extends TableIO with Serializable {
+  private def fqn(table: String) = s"$catalog.$table"
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.table(fqn(table))
+
+  def write(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.writeTo(fqn(table))
+    if (partitionCols.nonEmpty)
+      w.partitionedBy(col(partitionCols.head), partitionCols.tail.map(col): _*)
+        .createOrReplace()
+    else w.createOrReplace()
+  }
+
+  /** Append into an existing partitioned table (snapshot commit). */
+  def append(df: DataFrame, table: String): Unit =
+    df.writeTo(fqn(table)).append()
 }
