@@ -143,12 +143,10 @@ object HtmlExtract {
           else {
             val inner = html.substring(i + 1, close).trim
             val isEnd = inner.startsWith("/")
-            val nameEnd0 = inner.indexWhere(ch => ch == ' ' || ch == '\t' || ch == '\n' || ch == '/')
             val body = if (isEnd) inner.substring(1) else inner
             val nameEnd = body.indexWhere(ch => ch == ' ' || ch == '\t' || ch == '\n' || ch == '/')
             val tag = (if (nameEnd < 0) body else body.substring(0, nameEnd)).toLowerCase(java.util.Locale.ROOT)
             val selfClosing = inner.endsWith("/")
-            val _ = nameEnd0
 
             if (skipDepthTag != null) {
               if (tag == skipDepthTag) {
