@@ -45,20 +45,27 @@ object CurateApp {
     val pages = spark.read.parquet(input)
       .withColumn("unit", pmod(xxhash64(col("url")), lit(unitBuckets)).cast("string"))
 
-    // lang-partitioned output inside each unit (the manifest-parquet
-    // stand-in for Iceberg's PARTITIONED BY (days(warc_ts), lang))
+    // Checkpoint the SCORED table (all rows, keep flag, first_reject;
+    // dropped rows ship no text) — the expensive curation UDF runs
+    // exactly once per unit, and kept-view + per-filter metrics both
+    // derive from the written columns (column-pruned re-reads, no
+    // second scoring pass — SURVEY.md §4 checkpoint design). Output is
+    // lang-partitioned inside each unit (the manifest-parquet stand-in
+    // for Iceberg's PARTITIONED BY (days(warc_ts), lang)).
     val partCols = if (pages.columns.contains("lang")) Seq("lang") else Nil
     io.runCheckpointed(pages, "unit", "curated", partCols) { part =>
-      CurationPipeline.keptOutput(CurationPipeline.curate(part)).drop("unit")
+      CurationPipeline.curate(part).drop("unit", "text")
+        .withColumnRenamed("scrubbed_text", "text")
     }
 
-    // per-filter metrics over the full input (one narrow agg pass)
-    CurationPipeline.metrics(CurationPipeline.curate(pages))
+    val scored = spark.read.parquet(s"$outRoot/curated")
+    CurationPipeline.metrics(scored)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outRoot/metrics")
 
-    val kept = spark.read.parquet(s"$outRoot/curated").count()
-    println(s"curated: kept $kept docs -> $outRoot/curated (lineage: $outRoot/curated_manifest.jsonl)")
+    val kept = scored.filter(col("keep")).count()
+    println(s"curated: kept $kept docs -> $outRoot/curated (filter keep=true for the corpus; " +
+      s"metrics: $outRoot/metrics; lineage: $outRoot/curated_manifest.jsonl)")
     spark.stop()
   }
 }

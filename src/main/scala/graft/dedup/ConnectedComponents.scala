@@ -22,6 +22,18 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // ids must already be integral: casting strings would throw under
+    // ANSI mode (Spark 4 default) and silently null out every edge with
+    // ANSI off (dedup would become a no-op) — fail loudly instead;
+    // string ids hash to longs via xxhash64 at the call site
+    for (f <- edges.schema.take(2)) {
+      val ok = f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.ShortType
+      require(ok, s"ConnectedComponents needs integral src/dst ids; ${f.name} is ${f.dataType}. " +
+        "Map string ids through xxhash64 first.")
+    }
+
     var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter($"src" =!= $"dst")
       .distinct()

@@ -114,7 +114,8 @@ object MinHashLSH {
   def bands(sigs: DataFrame, p: Params = Params(), idCol: String = "doc_id"): DataFrame = {
     val rows = p.rowsPerBand
     val bandUdf = udf((sig: Seq[Long]) =>
-      sig.grouped(rows).zipWithIndex.map { case (slice, i) =>
+      if (sig == null) null // null-text rows carry null signatures
+      else sig.grouped(rows).zipWithIndex.map { case (slice, i) =>
         var h = 0x9e3779b97f4a7c15L + i
         slice.foreach { v => h = (h ^ v) * 0xff51afd7ed558ccdL; h ^= h >>> 33 }
         h

@@ -59,7 +59,9 @@ object SimHash {
     */
   def nearDupPairs(df: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = fingerprints(df, idCol, textCol).cache()
+    // eager localCheckpoint: the banded view self-joins (two consumers);
+    // a lazy cache() would stay pinned with no unpersist point
+    val fp = fingerprints(df, idCol, textCol).localCheckpoint(true)
     val banded = fp.select(
       col(idCol).as("id"), col("simhash"),
       explode(array((0 until 4).map(i =>
@@ -86,10 +88,13 @@ object SimHash {
     */
   def removalIds(df: DataFrame, maxHamming: Int = 3,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = fingerprints(df, idCol, textCol).cache()
-    // chain edges inside identical-fingerprint groups + one representative
-    val groups = fp.groupBy("simhash")
+    // eager localCheckpoint: groups feeds two consumers (chain edges and
+    // representatives) — a lazy cache() here would either recompute the
+    // fingerprint UDF twice or pin memory with no unpersist point
+    val groups = fingerprints(df, idCol, textCol)
+      .groupBy("simhash")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .localCheckpoint(true)
     val chainEdges = groups.filter(size(col("ids")) > 1)
       .select(explode(expr(
         "transform(slice(ids, 1, size(ids) - 1), (x, i) -> struct(x as src, ids[i + 1] as dst))")).as("e"))
@@ -110,10 +115,8 @@ object SimHash {
       .select(col("l.id").as("src"), col("r.id").as("dst"))
       .distinct()
 
-    val out = ConnectedComponents.run(chainEdges.union(crossEdges))
+    ConnectedComponents.run(chainEdges.union(crossEdges))
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    fp.unpersist()
-    out
   }
 }

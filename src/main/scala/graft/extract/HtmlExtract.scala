@@ -84,12 +84,18 @@ object HtmlExtract {
         val semi = s.indexOf(';', i + 1)
         if (semi > i && semi - i <= 10) {
           val name = s.substring(i + 1, semi)
+          // malformed web HTML carries out-of-range refs ("&#1114112;",
+          // "&#-5;") — must not throw inside a UDF (4 task failures would
+          // abort the whole job for one bad entity)
+          def appendRef(radix: Int, digits: String): Boolean =
+            try {
+              val cp = Integer.parseInt(digits, radix)
+              if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); true } else false
+            } catch { case _: NumberFormatException => false }
           if (name.startsWith("#x") || name.startsWith("#X")) {
-            try { sb.appendCodePoint(Integer.parseInt(name.substring(2), 16)); i = semi + 1 }
-            catch { case _: NumberFormatException => sb.append(c); i += 1 }
+            if (appendRef(16, name.substring(2))) i = semi + 1 else { sb.append(c); i += 1 }
           } else if (name.startsWith("#")) {
-            try { sb.appendCodePoint(Integer.parseInt(name.substring(1))); i = semi + 1 }
-            catch { case _: NumberFormatException => sb.append(c); i += 1 }
+            if (appendRef(10, name.substring(1))) i = semi + 1 else { sb.append(c); i += 1 }
           } else entities.get(name) match {
             case Some(rep) => sb.append(rep); i = semi + 1
             case None => sb.append(c); i += 1

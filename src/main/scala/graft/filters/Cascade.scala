@@ -33,18 +33,6 @@ object Cascade extends Serializable {
     Verdict(keep = true, null, scores)
   }
 
-  /** keep / first_reject / per-filter score columns for a text column.
-    * One whole-stage-codegen-friendly UDF; filter objects serialize into
-    * the closure and are reused across rows on each executor.
-    */
-  def verdictColumn(filters: Array[DocFilter]): Column = {
-    val fs = filters
-    udf((text: String) => {
-      if (text == null) Verdict(keep = false, "null_text", Array.fill(fs.length)(Double.NaN))
-      else evaluate(fs, text)
-    }).apply(col("text"))
-  }
-
   /** Convenience: df(text) -> df + keep/first_reject + score_<name> cols.
     *
     * The verdict UDF is marked nondeterministic ON PURPOSE (it is pure):

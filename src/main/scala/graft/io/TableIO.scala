@@ -76,7 +76,12 @@ final class ManifestParquetIO(root: String) extends TableIO with Serializable {
       val w = part.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(s"${path(table)}/unit=$u")
-      val rows = spark.read.parquet(s"${path(table)}/unit=$u").count()
+      // a fully-filtered unit under dynamic partitionBy writes only
+      // _SUCCESS (no schema-bearing files) — read-back then throws;
+      // commit rows=0 instead of crash-looping the resume on that unit
+      val rows =
+        try spark.read.parquet(s"${path(table)}/unit=$u").count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       appendManifest(table, s"""{"event":"unit_commit","table":"$table","unit":"$u","rows":$rows}""")
     }
   }

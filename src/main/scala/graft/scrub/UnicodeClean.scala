@@ -21,15 +21,23 @@ object UnicodeClean {
   private def mojibakeCount(s: String): Int =
     mojibakeMarkers.map(m => graft.text.PyText.countOccurrences(s, m)).sum
 
-  /** Attempt to undo UTF-8-read-as-cp1252 double encoding. */
+  /** Attempt to undo UTF-8-read-as-cp1252 double encoding. The cp1252
+    * ENCODER must REPORT unmappable chars (String.getBytes silently
+    * substitutes '?', which would destroy CJK/emoji text that happens to
+    * sit next to one mojibake marker) — docs mixing true non-Latin-1
+    * characters with markers are left untouched.
+    */
   def fixMojibake(s: String): String = {
     if (mojibakeCount(s) == 0) return s
     try {
-      val bytes = s.getBytes("windows-1252")
+      val enc = java.nio.charset.Charset.forName("windows-1252").newEncoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val bytes = enc.encode(java.nio.CharBuffer.wrap(s))
       val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
         .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-      val fixed = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      val fixed = dec.decode(bytes).toString
       if (mojibakeCount(fixed) < mojibakeCount(s)) fixed else s
     } catch { case _: Exception => s }
   }

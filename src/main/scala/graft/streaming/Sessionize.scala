@@ -87,7 +87,11 @@ object Sessionize {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp((s.end + gapUs) / 1000L) // timeout API is ms
+        // timeout API is ms; an admissible late event can have
+        // end + gap < watermark, and setTimeoutTimestamp throws for
+        // timestamps behind the watermark — clamp forward
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max((s.end + gapUs) / 1000L, wm + 1))
       }
       closed.reverse.iterator
     }
