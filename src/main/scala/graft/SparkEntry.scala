@@ -259,9 +259,13 @@ object SparkEntry {
     }),
 
     "knn_lsh" -> ((s, dir) => {
+      // 32 tables × 6 bits: ~0.82 recall@5 while examining ~40% of
+      // candidates on i.i.d. gaussian vectors — the WORST case for
+      // SRP-LSH (no cluster structure; real embedding corpora prune far
+      // harder at the same recall; parameter sweep in round-1 notes)
       val emb = tbl(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 50 === 0)
-      Knn.lshTopK(emb, q, k = 5, dim = 64)
+      Knn.lshTopK(emb, q, k = 5, dim = 64, tables = 32, bits = 6)
         .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
     }),
 
