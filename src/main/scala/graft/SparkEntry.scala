@@ -22,6 +22,13 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Max rows any catalog query may collect to the driver for model
+    * training — keeps the driver memory O(1) in corpus size. At sf0.01
+    * every sampled train set is under this cap, so results are identical
+    * to unbounded training there.
+    */
+  private val TrainCap = 4096
+
   // ---------- shared input-construction snippets ----------
   // Identical literal-replace injections evaluated by BOTH engines
   // (Spark expr uses char(); DuckDB oracle uses chr()) so per-filter
@@ -53,6 +60,48 @@ object SparkEntry {
 
   private val sparkCh: String => String = n => s"char($n)"
   private val duckCh: String => String = n => s"chr($n)"
+
+  // boilerplate filter/modifier inputs: one policy paragraph injected at
+  // top / bottom / middle, plus a lorem-ipsum case (Constants.policySubstrings)
+  private def boilIn(ch: String => String) = {
+    val nn = s"${ch("10")} || ${ch("10")}"
+    s"""CASE WHEN doc_id % 4 = 0 THEN 'This site uses cookies.' || $nn || text
+            WHEN doc_id % 4 = 1 THEN text || $nn || 'Read our Privacy Policy.'
+            WHEN doc_id % 4 = 2 THEN 'Lorem ipsum dolor.' || $nn || text
+            ELSE text || $nn || 'We use cookies here.' || $nn || text END"""
+  }
+  // repeated-line / repeated-paragraph CHAR-ratio inputs: every ' value '
+  // occurrence becomes the same ~125-char line/paragraph, so docs with
+  // >=2 occurrences carry enough duplicated char mass to cross the 0.8
+  // unique-char cutoff (a short dup line never moves the char ratio)
+  private val dupLine =
+    "'this same boilerplate line repeats again and again across the document wasting characters on duplicated content for everyone'"
+  private def linesDupIn(ch: String => String) =
+    s"replace(text, ' value ', ${ch("10")} || $dupLine || ${ch("10")})"
+  private def parasDupIn(ch: String => String) =
+    s"replace(text, ' value ', ${ch("10")} || ${ch("10")} || $dupLine || ${ch("10")} || ${ch("10")})"
+  // extract_html input: even docs get stopword-enriched text (density
+  // ~0.5, passes the 0.32 gate and roundtrips byte-identically), odd
+  // docs keep natural text (density < 0.32 → extractor returns None)
+  private val extractIn =
+    "CASE WHEN doc_id % 2 = 0 THEN replace(text, ' ', ' the ') ELSE text END"
+  // duplicate-5-gram input: a 10-word insert containing the same 5-gram twice
+  private val dupNgramIn =
+    "replace(text, ' batch ', ' v w x y z v w x y z ')"
+  private val pornIn =
+    "CASE WHEN doc_id % 4 = 0 THEN replace(text, 'scan', 'see http://bad.example.com/porn/x now') " +
+      "ELSE replace(text, 'scan', 'see http://ok.example.com/x now') END"
+  private val substrIn =
+    "CASE WHEN doc_id % 2 = 0 THEN 'PREFIX: ' || text ELSE text END"
+  private def quotIn(ch: String => String) =
+    s"""CASE WHEN doc_id % 4 = 0 THEN '"Q' || text || '"'
+             WHEN doc_id % 4 = 1 THEN '"M' || text || ${ch("10")} || 'tail"'
+             WHEN doc_id % 4 = 2 THEN '"X"' || ${ch("10")} || text || '"'
+             ELSE text END"""
+  private val sliceIn =
+    "CASE WHEN doc_id % 2 = 0 THEN 'head [S] ' || text || ' [E] tail' ELSE text END"
+  private def lineRemIn(ch: String => String) =
+    s"replace(text, ' the ', ${ch("10")} || 'REMOVE' || ${ch("10")})"
 
   // DuckDB word-list expression (Python str.split() semantics on ASCII)
   private def duckWords(in: String) =
@@ -99,10 +148,16 @@ object SparkEntry {
     }),
 
     "q3_topk" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      tbl(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
+      // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+      // partial top-k, no global sort, no single-partition WindowExec);
+      // rn is then derived on the 10-row result — the constant partition
+      // key keeps the WindowExec off the unpartitioned-window path
+      val top = tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+      val w = Window.partitionBy(lit(1))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      top.withColumn("rn", row_number().over(w))
         .select("o_orderkey", "o_totalprice", "rn")
     }),
 
@@ -158,12 +213,20 @@ object SparkEntry {
     "hf_words_without_alphabets" -> hfQuery(HF.WordsWithoutAlphabets(), numIn),
     "hf_histogram" -> hfQuery(HF.Histogram(
       (('a' to 'z') ++ ('A' to 'Z') ++ Seq(' ', '.')).toSet, 0.8)),
+    "hf_boilerplate" -> hfQuery(HF.BoilerPlateString(), boilIn(sparkCh)),
+    "hf_repeated_lines_char" -> hfQuery(HF.RepeatedLinesByChar(), linesDupIn(sparkCh)),
+    "hf_repeated_paragraphs_char" -> hfQuery(HF.RepeatedParagraphsByChar(), parasDupIn(sparkCh)),
+    "hf_top_ngrams" -> hfQuery(HF.RepeatingTopNGrams(2, 0.2)),
+    "hf_dup_ngrams" -> hfQuery(HF.RepeatingDuplicateNGrams(5, 0.15), dupNgramIn),
+    "hf_porn_urls" -> hfQuery(HF.PornographicUrls(), pornIn),
+    "hf_substring" -> hfQuery(HF.Substring("PREFIX:", "prefix"), substrIn),
     "cf_alpha" -> hfQuery(graft.filters.CodeFilters.Alpha(), numIn),
     "cf_num_lines" -> hfQuery(graft.filters.CodeFilters.NumberOfLines(2, 100), linesIn(sparkCh)),
     "cf_xml_header" -> hfQuery(graft.filters.CodeFilters.XmlHeader(),
       "CASE WHEN doc_id % 5 = 0 THEN '<?xml version=\"1.0\"?>' || text ELSE text END"),
 
-    // full cascade (rows-only check here; exact reference parity in tests)
+    // full cascade — oracle = labels parquet generated by running the
+    // REFERENCE'S OWN filter code over this table (gen_reference_labels.py)
     "cascade_en" -> ((s, dir) => {
       graft.filters.Cascade.score(tbl(s, dir, "documents"))
         .select("doc_id", "keep", "first_reject")
@@ -205,6 +268,56 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .withColumn("_in", expr(mdIn))
         .select(col("doc_id"), u(col("_in")).as("cleaned"))
+    }),
+
+    "mod_quotation" -> ((s, dir) => {
+      val u = udf((t: String) => Modifiers.removeQuotation(t))
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr(quotIn(sparkCh)))
+        .select(col("doc_id"), u(col("_in")).as("cleaned"))
+    }),
+
+    "mod_slicer" -> ((s, dir) => {
+      val u = udf((t: String) => Modifiers.slice(t, "[S]", "[E]",
+        includeLeft = false, includeRight = false))
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr(sliceIn))
+        .select(col("doc_id"), u(col("_in")).as("sliced"))
+    }),
+
+    "mod_line_remove" -> ((s, dir) => {
+      val u = udf((t: String) => Modifiers.removeLines(t, Set("REMOVE")))
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr(lineRemIn(sparkCh)))
+        .select(col("doc_id"), u(col("_in")).as("cleaned"))
+    }),
+
+    "mod_fasttext_label" -> ((s, dir) => {
+      val u = udf((t: String) => Modifiers.fastTextLabel("__label__hq", t))
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr(nlIn(sparkCh)))
+        .select(col("doc_id"), u(col("_in")).as("labeled"))
+    }),
+
+    "mod_boilerplate" -> ((s, dir) => {
+      val u = udf((t: String) => Modifiers.removeBoilerplate(t))
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr(boilIn(sparkCh)))
+        .select(col("doc_id"), u(col("_in")).as("cleaned"))
+    }),
+
+    // ================= html extraction =================
+    // wrapHtml(text) -> extractFromBytes byte-identity roundtrip
+    // (reference extract.py:88 invariant), gated by the stopword-density
+    // paragraph filter (resiliparse.py:55-79): extracted == text when the
+    // single paragraph passes the density gate, NULL otherwise
+    "extract_html" -> ((s, dir) => {
+      val u = udf((id: Long, t: String) =>
+        graft.extract.HtmlExtract.extractFromBytes(
+          graft.fixtures.CCPages.wrapHtml(s"Doc $id", t).getBytes("UTF-8")).orNull)
+      tbl(s, dir, "documents")
+        .withColumn("_in", expr(extractIn))
+        .select(col("doc_id"), u(col("doc_id"), col("_in")).as("extracted"))
     }),
 
     // ================= text analysis =================
@@ -262,11 +375,21 @@ object SparkEntry {
       // 32 tables × 6 bits: ~0.82 recall@5 while examining ~40% of
       // candidates on i.i.d. gaussian vectors — the WORST case for
       // SRP-LSH (no cluster structure; real embedding corpora prune far
-      // harder at the same recall; parameter sweep in round-1 notes)
+      // harder at the same recall; parameter sweep in round-1 notes).
+      // Emitted as a per-query recall GATE vs the exact brute-force
+      // top-5 (computed in the same query) so DuckDB can assert it:
+      // deterministic at seed 42, observed min per-query recall 0.6.
       val emb = tbl(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 50 === 0)
-      Knn.lshTopK(emb, q, k = 5, dim = 64, tables = 32, bits = 6)
-        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+      val brute = Knn.bruteForceTopK(emb, q, k = 5).select("query_id", "neighbor_id")
+      val approx = Knn.lshTopK(emb, q, k = 5, dim = 64, tables = 32, bits = 6)
+        .select("query_id", "neighbor_id")
+      val hits = brute.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0)) / 5.0 >= 0.5).as("recall_ok"))
     }),
 
     "emb_neardup" -> ((s, dir) => {
@@ -284,11 +407,17 @@ object SparkEntry {
     }),
 
     // ================= model-backed filters =================
+    // Training-data acquisition is BOUNDED: orderBy(doc_id)+limit(N)
+    // compiles to TakeOrderedAndProject (per-partition partial top-N) —
+    // the driver materializes at most N rows regardless of corpus size.
+    // A production run loads a pre-trained artifact instead (see
+    // langid.FastTextBin); these entries train on the capped sample so
+    // the catalog stays self-contained and deterministic.
     "lm_perplexity" -> ((s, dir) => {
-      // train on even doc_ids (driver-side, deterministic), score all
       val docs = tbl(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 2 === 0)
-        .select("text").collect().map(_.getString(0)).toSeq
+        .select("doc_id", "text").orderBy("doc_id").limit(TrainCap)
+        .collect().map(_.getString(1)).toSeq
       val lm = graft.lm.NGramLM.train(train, order = 3)
       graft.langid.FastTextFilters.withPerplexity(docs, lm)
         .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
@@ -299,7 +428,8 @@ object SparkEntry {
       // (lang, text) pairs; fastText-LangId contract output
       val docs = tbl(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 2 === 0)
-        .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        .select("doc_id", "lang", "text").orderBy("doc_id").limit(TrainCap)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       val model = graft.langid.CharNgramLangId.train(train, buckets = 1 << 14)
       graft.langid.FastTextFilters.withLangId(docs, model)
         .select(col("doc_id"), col("langid.lang").as("lang_pred"),
@@ -310,8 +440,9 @@ object SparkEntry {
       // stochastic Pareto keep (deterministic per-row sampling)
       val docs = tbl(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 7 === 0)
-        .select("source", "text").collect()
-        .map(r => (if (r.getString(0).length <= 4) "hq" else "lq", r.getString(1))).toSeq
+        .select("doc_id", "source", "text").orderBy("doc_id").limit(TrainCap)
+        .collect()
+        .map(r => (if (r.getString(1).length <= 4) "hq" else "lq", r.getString(2))).toSeq
       val model = graft.langid.CharNgramLangId.train(train, buckets = 1 << 14)
       graft.langid.FastTextFilters.filterByQuality(docs, model)
         .select(col("doc_id"), round(col("fasttext_quality"), 4).as("quality"))
@@ -322,10 +453,20 @@ object SparkEntry {
       graft.dedup.SemanticDedup.removalIds(tbl(s, dir, "embeddings"), k = 8, eps = 0.7)),
 
     "ivf_topk" -> ((s, dir) => {
+      // per-query recall GATE vs exact brute-force top-5 (see knn_lsh);
+      // IVF at cells=8/nProbe=3 over unclustered gaussians: observed min
+      // per-query recall 0.4 at seed 42 — gate at 0.3
       val emb = tbl(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 100 === 0)
-      graft.sim.Knn.ivfTopK(emb, q, k = 5, cells = 8, nProbe = 3)
-        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+      val brute = Knn.bruteForceTopK(emb, q, k = 5).select("query_id", "neighbor_id")
+      val approx = graft.sim.Knn.ivfTopK(emb, q, k = 5, cells = 8, nProbe = 3)
+        .select("query_id", "neighbor_id")
+      val hits = brute.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0)) / 5.0 >= 0.3).as("recall_ok"))
     }),
 
     // ================= unicode clean / warc / rechunk / salting =================
@@ -372,6 +513,73 @@ object SparkEntry {
   private def hfRatioOracle(scoreExpr: String, keepExpr: String, inExpr: String = "text"): String =
     s"SELECT doc_id, round($scoreExpr, 6) AS score, $keepExpr AS keep FROM " +
       s"(SELECT doc_id, $inExpr AS t FROM documents)"
+
+  /** OR-disjunction over the reference policy substrings (lowercased
+    * containment, constants.py:19-57) for the boilerplate oracle.
+    */
+  private def policyContains(x: String): String =
+    graft.text.Constants.policySubstrings
+      .map(p => s"contains(lower($x), '${p.replace("'", "''")}')").mkString("(", " OR ", ")")
+
+  /** RepeatingTopNGrams(2) oracle. Winner = the bigram that FIRST reaches
+    * the final maximum count in window order (the Scala strictly-greater
+    * update), i.e. among max-count bigrams the one whose LAST occurrence
+    * is earliest; score = chars its non-overlapping occurrences cover in
+    * the original text / nchar.
+    */
+  private def topNgramOracle: String = {
+    val ws = duckWords("text")
+    s"""WITH base AS (SELECT doc_id, text AS t, $ws AS ws FROM documents),
+        g AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram,
+                unnest(range(1, greatest(len(ws), 1))) AS pos
+              FROM base WHERE len(ws) >= 2),
+        cnt AS (SELECT doc_id, gram, count(*) AS c, max(pos) AS lastpos FROM g GROUP BY 1, 2),
+        best AS (SELECT doc_id, gram,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lastpos ASC) AS rk
+                 FROM cnt)
+        SELECT doc_id, round(score, 6) AS score, score <= 0.2 AS keep FROM (
+          SELECT b.doc_id,
+                 CASE WHEN w.gram IS NULL THEN 1.0
+                      ELSE CAST(length(b.t) - length(replace(b.t, w.gram, '')) AS DOUBLE) / length(b.t) END AS score
+          FROM base b LEFT JOIN (SELECT doc_id, gram FROM best WHERE rk = 1) w USING (doc_id))"""
+  }
+
+  /** RepeatingDuplicateNGrams(5) oracle. The Scala overlap-adjusted
+    * accumulator equals: union the word positions of all repeat-occurrence
+    * 5-gram windows, grouping windows into islands when consecutive dup
+    * windows start < 5 apart; each island [f..l] covers words f..l+4 and
+    * (covered words - 1) single spaces.
+    */
+  private def dupNgramOracle: String = {
+    val ws = duckWords("t")
+    s"""WITH base AS (SELECT doc_id, $dupNgramIn AS t FROM documents),
+        wsb AS (SELECT doc_id, t, $ws AS ws FROM base),
+        g AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(ws) - 3),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram,
+                unnest(range(1, greatest(len(ws) - 3, 1))) AS pos
+              FROM wsb WHERE len(ws) >= 5),
+        dup AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY doc_id, gram ORDER BY pos) AS occ
+                  FROM g) WHERE occ > 1),
+        isl AS (SELECT doc_id, pos,
+                  sum(CASE WHEN prev IS NULL OR pos - prev >= 5 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM (SELECT doc_id, pos,
+                        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup)),
+        spans AS (SELECT doc_id, island, min(pos) AS f, max(pos) AS l FROM isl GROUP BY 1, 2),
+        dupn AS (SELECT s.doc_id,
+                   sum(list_aggregate(list_transform(w.ws[s.f:s.l+4], x -> length(x)), 'sum')
+                       + (s.l - s.f + 4)) AS chars
+                 FROM spans s JOIN wsb w USING (doc_id) GROUP BY 1)
+        SELECT doc_id, round(score, 6) AS score, score <= 0.15 AS keep FROM (
+          SELECT w.doc_id,
+                 CASE WHEN len(w.ws) < 5 THEN 1.0
+                      ELSE CAST(coalesce(d.chars, 0) AS DOUBLE) / length(w.t) END AS score
+          FROM wsb w LEFT JOIN dupn d USING (doc_id))"""
+  }
 
   def oracleSql: Map[String, String] = {
     val words = duckWords("t")
@@ -492,6 +700,48 @@ object SparkEntry {
         "CASE WHEN CAST(length(regexp_replace(trim(t, ' ' || chr(9) || chr(10) || chr(13)), '[^a-zA-Z .]', '', 'g')) AS DOUBLE) / length(t) > 0.8 THEN 1.0 ELSE 0.0 END",
         "CAST(length(regexp_replace(trim(t, ' ' || chr(9) || chr(10) || chr(13)), '[^a-zA-Z .]', '', 'g')) AS DOUBLE) / length(t) > 0.8"),
 
+      "hf_boilerplate" -> hfRatioOracle(
+        s"CASE WHEN len(list_filter($paras, x -> contains(lower(x), 'lorem ipsum'))) > 0 THEN 1.0 " +
+          s"ELSE CAST(len(list_filter($paras, x -> ${policyContains("x")})) AS DOUBLE) / len($paras) END",
+        s"CASE WHEN len(list_filter($paras, x -> contains(lower(x), 'lorem ipsum'))) > 0 THEN 1.0 " +
+          s"ELSE CAST(len(list_filter($paras, x -> ${policyContains("x")})) AS DOUBLE) / len($paras) END <= 0.4",
+        boilIn(duckCh)),
+
+      "hf_repeated_lines_char" -> hfRatioOracle(
+        s"CAST(list_aggregate(list_transform(list_distinct($lines), x -> length(x)), 'sum') AS DOUBLE) / " +
+          s"list_aggregate(list_transform($lines, x -> length(x)), 'sum')",
+        s"CAST(list_aggregate(list_transform(list_distinct($lines), x -> length(x)), 'sum') AS DOUBLE) / " +
+          s"list_aggregate(list_transform($lines, x -> length(x)), 'sum') >= 0.8",
+        linesDupIn(duckCh)),
+
+      "hf_repeated_paragraphs_char" -> hfRatioOracle(
+        s"CAST(list_aggregate(list_transform(list_distinct($paras), x -> length(x)), 'sum') AS DOUBLE) / " +
+          s"list_aggregate(list_transform($paras, x -> length(x)), 'sum')",
+        s"CAST(list_aggregate(list_transform(list_distinct($paras), x -> length(x)), 'sum') AS DOUBLE) / " +
+          s"list_aggregate(list_transform($paras, x -> length(x)), 'sum') >= 0.8",
+        parasDupIn(duckCh)),
+
+      "hf_top_ngrams" -> topNgramOracle,
+
+      "hf_dup_ngrams" -> dupNgramOracle,
+
+      "hf_porn_urls" -> hfRatioOracle(
+        s"CASE WHEN len(list_filter(regexp_extract_all(t, $urlReDuck), u -> contains(u, 'porn'))) > 0 THEN 1.0 ELSE 0.0 END",
+        s"len(list_filter(regexp_extract_all(t, $urlReDuck), u -> contains(u, 'porn'))) = 0",
+        pornIn),
+
+      "hf_substring" -> hfRatioOracle(
+        "CASE WHEN starts_with(t, 'PREFIX:') THEN 1.0 ELSE 0.0 END",
+        "starts_with(t, 'PREFIX:')",
+        substrIn),
+
+      "cascade_en" ->
+        // oracle table = labels generated by RUNNING THE REFERENCE'S OWN
+        // heuristic_filter.py over this exact sf0.01 documents table
+        // (tools/gen_reference_labels.py; committed parquet) — keep AND
+        // first-reject attribution must match the reference bit-exactly
+        "SELECT doc_id, keep, first_reject FROM '/root/repo/src/test/resources/labels_ref_documents.parquet'",
+
       "cf_alpha" -> hfRatioOracle(
         "CAST(length(regexp_replace(t, '[^[:alpha:]]', '', 'g')) AS DOUBLE) / length(t)",
         "CAST(length(regexp_replace(t, '[^[:alpha:]]', '', 'g')) AS DOUBLE) / length(t) >= 0.25",
@@ -508,10 +758,13 @@ object SparkEntry {
         "CASE WHEN doc_id % 5 = 0 THEN '<?xml version=\"1.0\"?>' || text ELSE text END"),
 
       "ta_fingerprint" ->
+        // the modular fold yields a DuckDB HUGEINT; the final CAST makes
+        // the column BIGINT so the driver's value-hash sees the same type
+        // Spark emits (values are identical either way)
         """SELECT doc_id,
-             ((list_reduce(list_prepend(0::HUGEINT, [ord(c)::HUGEINT for c in split(text, '')]),
+             CAST(((list_reduce(list_prepend(0::HUGEINT, [ord(c)::HUGEINT for c in split(text, '')]),
                            (h, c) -> (h * 257 + c) % 18446744073709551616::HUGEINT)
-               + 9223372036854775808) % 18446744073709551616) - 9223372036854775808 AS fp64
+               + 9223372036854775808) % 18446744073709551616) - 9223372036854775808 AS BIGINT) AS fp64
            FROM documents""",
 
       "scrub_pii" ->
@@ -538,6 +791,37 @@ object SparkEntry {
             '\\*\\*(.*?)\\*\\*', '\\1', 'g'), '\\*(.*?)\\*', '\\1', 'g'),
             '_(.*?)_', '\\1', 'g'), '\\[.*?\\]\\((.*?)\\)', '\\1', 'g') AS cleaned FROM documents""",
 
+      "mod_quotation" -> {
+        val nl = duckCh("10")
+        s"""SELECT doc_id,
+              CASE WHEN doc_id % 4 = 0 THEN 'Q' || text
+                   WHEN doc_id % 4 = 1 THEN 'M' || text || $nl || 'tail'
+                   WHEN doc_id % 4 = 2 THEN '"X"' || $nl || text || '"'
+                   ELSE text END AS cleaned
+            FROM documents"""
+      },
+
+      "mod_slicer" ->
+        "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN text ELSE '' END AS sliced FROM documents",
+
+      "mod_line_remove" ->
+        s"SELECT doc_id, array_to_string(list_filter(string_split(${lineRemIn(duckCh)}, chr(10)), x -> x != 'REMOVE'), chr(10)) AS cleaned FROM documents",
+
+      "mod_fasttext_label" ->
+        s"SELECT doc_id, '__label__hq ' || replace(${nlIn(duckCh)}, chr(10), ' ') AS labeled FROM documents",
+
+      "mod_boilerplate" -> {
+        val nn = s"${duckCh("10")} || ${duckCh("10")}"
+        s"""SELECT doc_id,
+              CASE WHEN doc_id % 4 = 0 THEN text
+                   WHEN doc_id % 4 = 1 THEN text
+                   WHEN doc_id % 4 = 2 THEN ''
+                   ELSE text || $nn || 'We use cookies here.' || $nn || text END AS cleaned
+            FROM documents"""
+      },
+
+      "extract_html" -> extractHtmlOracle,
+
       "ta_token_count" ->
         s"""SELECT doc_id, len(${duckWords("text")}) AS ws_tokens,
             len(regexp_extract_all(text, '${TextStats.bpePattern.replace("'", "''")}')) AS bpe_tokens
@@ -556,6 +840,14 @@ object SparkEntry {
         """SELECT doc_id FROM (
              SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
              FROM documents) WHERE rn = 1""",
+
+      "knn_lsh" ->
+        "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id % 50 = 0",
+
+      "ivf_topk" ->
+        "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0",
+
+      "dedup_jaccard_pairs" -> dedupJaccardOracle,
 
       "knn_brute" ->
         """SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM (
@@ -607,6 +899,44 @@ object SparkEntry {
 
   private val urlReDuck =
     "'http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*\\(\\),]|(?:%[0-9a-fA-F][0-9a-fA-F]))+'"
+
+  /** dedup_jaccard_pairs oracle: EXACT all-pairs token-3-gram Jaccard in
+    * DuckDB (O(n²) — oracle-tier only), thresholded at 0.5. Valid as an
+    * equality oracle because the testdata separates planted dup pairs
+    * (J ≥ 0.9, where 20×13-band LSH recall ≈ 1) from natural pairs
+    * (J ≤ 0.07) — verified empirically: the candidate set equals the
+    * exact J ≥ 0.5 set at sf0.01.
+    */
+  private def dedupJaccardOracle: String = {
+    val ws = duckWords("lower(text)")
+    s"""WITH g AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                   ELSE list_transform(range(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS grams
+          FROM (SELECT doc_id, $ws AS ws FROM documents))
+        SELECT src, dst, round(inter / (la + lb - inter), 6) AS jaccard
+        FROM (
+          SELECT a.doc_id AS src, b.doc_id AS dst,
+                 CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
+                 len(a.grams) AS la, len(b.grams) AS lb
+          FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        WHERE inter / (la + lb - inter) >= 0.5"""
+  }
+
+  /** extract_html oracle: the wrapHtml→extract roundtrip returns the text
+    * byte-identically iff its (single) paragraph passes the stopword-
+    * density gate (HtmlExtract.RequiredStopwordDensity over raw-token
+    * membership in the en stop list), else NULL.
+    */
+  private def extractHtmlOracle: String = {
+    val sw = graft.extract.HtmlExtract.enStopwords.toSeq.sorted.map("'" + _ + "'").mkString(",")
+    val words = duckWords("t")
+    s"""SELECT doc_id,
+          CASE WHEN CAST(len(list_filter($words, w -> w IN ($sw))) AS DOUBLE) / len($words) >= 0.32
+               THEN t ELSE NULL END AS extracted
+        FROM (SELECT doc_id, $extractIn AS t FROM documents)"""
+  }
 
   private def taLangidOracle: String = {
     val langs = Seq(

@@ -72,8 +72,9 @@ object TextStats {
   }
 
   /** 64-bit polynomial rolling-hash document fingerprint (Rabin-style,
-    * base 257 over code points). Stable across JVMs; usable as a cheap
-    * content id for incremental pipelines.
+    * base 257 over UTF-16 code units — non-BMP chars hash as their
+    * surrogate pair, matching the oracle's per-UTF-16-unit fold). Stable
+    * across JVMs; usable as a cheap content id for incremental pipelines.
     */
   def fingerprint64(text: String): Long = {
     var h = 0L

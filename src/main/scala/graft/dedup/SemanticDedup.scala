@@ -1,8 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sim.Knn
 
@@ -11,33 +12,58 @@ import graft.sim.Knn
   *
   * Reference: stages/deduplication/semantic/ — KMeansStage (normalized
   * embeddings, kmeans.py:260-286), PairwiseStage (within-cluster batched
-  * cosine max-similarity, pairwise.py:37-71), IdentifyDuplicatesStage
+  * cosine max-similarity, pairwise.py:37-71, ranked by distance-to-
+  * centroid per which_to_keep, pairwise.py:275-299), IdentifyDuplicates
   * (eps threshold). Spark-first: ml.KMeans for the model, an equi-join
   * on cluster id for the pairwise step (never the full cross product),
-  * and the same window keep-first as the other dedups.
+  * and a rank-precedence removal matching the reference's "max sim to a
+  * preceding doc in cluster order" semantics.
   *
   * Scale shape: pairwise cost is Σ cluster_size² — pick k so the average
   * cell stays small (reference default: 1000 clusters for ~300M docs);
-  * the cluster equi-join shuffles only (cluster, id, vec).
+  * the cluster equi-join shuffles only (cluster, id, vec). KMeans FIT
+  * runs on a bounded sample (limit() early-terminates the scan — the
+  * executors never iterate the full corpus for training; the reference
+  * likewise fits on capped in-memory batches); ASSIGNMENT is the one
+  * full pass.
   */
 object SemanticDedup {
 
-  /** Assign a kmeans cluster per embedding (L2-normalized first, so
-    * euclidean kmeans ≈ spherical/cosine kmeans — kmeans.py:260-266).
+  /** Max rows used to fit the KMeans model. limit() compiles to a
+    * partial-scan limit — the fit reads this many rows at any corpus
+    * size. Centroid quality needs only ~100× k samples.
     */
-  def withClusters(df: DataFrame, k: Int, seed: Long = 42,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val toVec = udf((v: Seq[Float]) => {
-      val arr = v.map(_.toDouble).toArray
-      val n = math.sqrt(arr.map(x => x * x).sum)
-      Vectors.dense(if (n == 0) arr else arr.map(_ / n))
-    })
-    val feat = df.withColumn("_features", toVec(col(vecCol)))
+  val FitSampleCap = 100000
+
+  private val toVec = udf((v: Seq[Float]) => {
+    val arr = v.map(_.toDouble).toArray
+    val n = math.sqrt(arr.map(x => x * x).sum)
+    Vectors.dense(if (n == 0) arr else arr.map(_ / n))
+  })
+
+  /** Fit the cluster model on a bounded sample of L2-normalized
+    * embeddings (euclidean kmeans ≈ spherical/cosine kmeans —
+    * kmeans.py:260-266).
+    */
+  def fitModel(df: DataFrame, k: Int, seed: Long = 42,
+               vecCol: String = "embedding", fitCap: Int = FitSampleCap): KMeansModel = {
+    val fitSample = df.select(toVec(col(vecCol)).as("_features")).limit(fitCap).cache()
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features")
       .setPredictionCol("cluster").setMaxIter(20)
-      .fit(feat)
-    model.transform(feat).drop("_features")
+      .fit(fitSample)
+    fitSample.unpersist()
+    model
   }
+
+  /** Assign a kmeans cluster per embedding. One full pass (transform);
+    * the model comes from [[fitModel]]'s bounded sample.
+    */
+  def withClusters(df: DataFrame, k: Int, seed: Long = 42,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assign(df, fitModel(df, k, seed, vecCol), vecCol)
+
+  private def assign(df: DataFrame, model: KMeansModel, vecCol: String): DataFrame =
+    model.transform(df.withColumn("_features", toVec(col(vecCol)))).drop("_features")
 
   /** Near-duplicate pairs: exact cosine within each kmeans cell. */
   def nearDupPairs(df: DataFrame, k: Int, eps: Double, seed: Long = 42,
@@ -46,8 +72,8 @@ object SemanticDedup {
       "cluster", minCosine = 1.0 - eps, idCol, vecCol)
 
   /** Removal ids: connected components over near-dup pairs, keep min id
-    * per component (reference which_to_keep="hard" analogue with id
-    * ordering).
+    * per component (id-ordered keep-first; see [[removalIdsRanked]] for
+    * the reference's which_to_keep variants).
     */
   def removalIds(df: DataFrame, k: Int, eps: Double, seed: Long = 42,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -55,5 +81,43 @@ object SemanticDedup {
     ConnectedComponents.run(edges)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
+  }
+
+  /** Reference removal semantics (pairwise.py:275-299 + identify stage):
+    * rank docs within each cluster — "hard" keeps the doc FARTHEST from
+    * the centroid first (descending cosine distance to centroid), "easy"
+    * the closest (ascending), "random" a hash-shuffled order — then
+    * remove any doc whose cosine similarity to some EARLIER-ranked doc
+    * in the same cluster is ≥ 1-eps. (The reference computes each doc's
+    * max similarity against preceding docs in cluster order and
+    * thresholds it; removal = ∃ preceding near-neighbor, which is the
+    * rank-precedence join below — no connected components involved.)
+    */
+  def removalIdsRanked(df: DataFrame, k: Int, eps: Double,
+                       whichToKeep: String = "hard", seed: Long = 42,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(Set("hard", "easy", "random").contains(whichToKeep))
+    val model = fitModel(df, k, seed, vecCol)
+    val clustered = assign(df, model, vecCol)
+    val centroids: Array[Array[Float]] = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val centroidOf = udf((cluster: Int) => centroids(cluster).toSeq)
+    val rankKey = whichToKeep match {
+      case "hard"   => col("_cdist").desc
+      case "easy"   => col("_cdist").asc
+      case "random" => xxhash64(col(idCol), lit(seed)).asc
+    }
+    val withDist =
+      if (whichToKeep == "random") clustered.withColumn("_cdist", lit(0.0))
+      else clustered.withColumn("_cdist",
+        lit(1.0) - Knn.cosineUdf(col(vecCol), centroidOf(col("cluster"))))
+    val w = Window.partitionBy("cluster").orderBy(rankKey, col(idCol).asc)
+    val ranked = withDist.withColumn("_rank", row_number().over(w))
+    val l = ranked.select(col("cluster"), col(vecCol).as("_v1"), col("_rank").as("_r1"))
+    val r = ranked.select(col("cluster"), col(idCol).as("_removed"), col(vecCol).as("_v2"), col("_rank").as("_r2"))
+    l.join(r, "cluster")
+      .filter(col("_r1") < col("_r2"))
+      .filter(Knn.cosineUdf(col("_v1"), col("_v2")) >= lit(1.0 - eps))
+      .select(col("_removed").as(idCol))
+      .distinct()
   }
 }

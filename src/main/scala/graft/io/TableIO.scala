@@ -35,9 +35,13 @@ final class ManifestParquetIO(root: String) extends TableIO with Serializable {
     spark.read.parquet(path(table))
 
   def write(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+    // row count rides the write job itself via observe() — no second
+    // pass over input or output (an output re-read would double IO cost
+    // at scale just to produce a manifest field)
+    val obs = org.apache.spark.sql.Observation()
+    val w = df.observe(obs, count(lit(1)).as("rows")).write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path(table))
-    appendManifest(table, s"""{"event":"commit","table":"$table","rows":${df.sparkSession.read.parquet(path(table)).count()}}""")
+    appendManifest(table, s"""{"event":"commit","table":"$table","rows":${obs.get("rows")}}""")
   }
 
   /** Append a lineage record (atomic enough for a single driver). */
@@ -68,21 +72,18 @@ final class ManifestParquetIO(root: String) extends TableIO with Serializable {
   def runCheckpointed(df: DataFrame, unitCol: String, table: String,
                       partitionCols: Seq[String] = Nil)
                      (process: DataFrame => DataFrame): Unit = {
-    val spark = df.sparkSession
     val done = committedUnits(table)
     val units = df.select(unitCol).distinct().collect().map(_.get(0).toString).sorted
     for (u <- units if !done.contains(u)) {
       val part = process(df.filter(col(unitCol) === u))
-      val w = part.write.mode(SaveMode.Overwrite)
+      // row count observed on the write job itself — no output re-read,
+      // and a fully-filtered unit reports rows=0 naturally (the old
+      // read-back threw on the _SUCCESS-only directory such units leave)
+      val obs = org.apache.spark.sql.Observation()
+      val w = part.observe(obs, count(lit(1)).as("rows")).write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(s"${path(table)}/unit=$u")
-      // a fully-filtered unit under dynamic partitionBy writes only
-      // _SUCCESS (no schema-bearing files) — read-back then throws;
-      // commit rows=0 instead of crash-looping the resume on that unit
-      val rows =
-        try spark.read.parquet(s"${path(table)}/unit=$u").count()
-        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-      appendManifest(table, s"""{"event":"unit_commit","table":"$table","unit":"$u","rows":$rows}""")
+      appendManifest(table, s"""{"event":"unit_commit","table":"$table","unit":"$u","rows":${obs.get("rows")}}""")
     }
   }
 }

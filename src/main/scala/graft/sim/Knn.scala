@@ -93,16 +93,22 @@ object Knn {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               tables: Int = 8, bits: Int = 12, seed: Long = 42,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cs = srpSignatures(corpus, dim, tables, bits, seed, idCol, vecCol)
-      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(vecCol, "_cv")
+    // bucket probe carries ONLY (bucket, id) — the wide vector columns
+    // never enter the multi-table join or the distinct; candidate ids
+    // dedup as two longs, then vectors re-attach once per side
+    val cs = srpSignatures(corpus.select(idCol, vecCol), dim, tables, bits, seed, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("bucket"))
     val qs = broadcast(
-      srpSignatures(queries, dim, tables, bits, seed, idCol, vecCol)
-        .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "_qv"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    cs.join(qs, "bucket")
+      srpSignatures(queries.select(idCol, vecCol), dim, tables, bits, seed, idCol, vecCol)
+        .select(col(idCol).as("query_id"), col("bucket")))
+    val candidates = cs.join(qs, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
+      .select("query_id", "neighbor_id")
       .distinct()
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    candidates.join(cv, "neighbor_id").join(qv, "query_id")
       .withColumn("sim", cosineUdf(col("_cv"), col("_qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -63,8 +63,11 @@ class ParityCascadeSpec extends AnyFunSuite {
     val f1 = if (precision + recall == 0) 0.0 else 2 * precision * recall / (precision + recall)
     info(f"$textsPath: n=${texts.length} tp=$tp fp=$fp fn=$fn tn=$tn F1=$f1%.5f " +
       f"rejectMismatch=$rejectMismatch scoreMismatch=$scoreMismatch")
+    // when no doc is kept on either side F1 is trivially 1.0 — the real
+    // signal there is exact disagreement counts, so always assert those
+    assert(fp + fn == 0, s"keep/drop disagreement: fp=$fp fn=$fn")
     assert(f1 >= 0.99, s"keep/drop F1 $f1 below 0.99 (fp=$fp fn=$fn)")
-    assert(rejectMismatch <= texts.length / 100, "first_reject attribution diverges >1%")
+    assert(rejectMismatch == 0, "first_reject attribution diverges (cascade_en oracle requires exact)")
     assert(scoreMismatch <= texts.length / 100, "per-filter scores diverge >1%")
   }
 
