@@ -356,6 +356,24 @@ object SparkEntry {
     "dedup_minhash_ids" -> ((s, dir) =>
       MinHashLSH.removalIds(tbl(s, dir, "documents"))),
 
+    // LM sanity gate: average word-perplexity on the training half must
+    // beat the held-out half by 2x (observed 11.5 vs 38.8 at sf0.01) —
+    // the aggregate property a DuckDB oracle CAN assert about a trained
+    // model (per-doc perplexities stay in the rows-only lm_perplexity)
+    "lm_ppl_gate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text").orderBy("doc_id").limit(TrainCap)
+        .collect().map(_.getString(1)).toSeq
+      val lm = graft.lm.NGramLM.train(train, order = 3)
+      graft.langid.FastTextFilters.withPerplexity(docs, lm)
+        .agg(
+          avg(when(col("doc_id") % 2 === 0, col("perplexity"))).as("_tr"),
+          avg(when(col("doc_id") % 2 === 1, col("perplexity"))).as("_he"),
+          count(lit(1)).as("docs"))
+        .select((col("_tr") * 2 < col("_he")).as("train_better"), col("docs"))
+    }),
+
     "dedup_simhash_pairs" -> ((s, dir) =>
       SimHash.nearDupPairs(tbl(s, dir, "documents"), maxHamming = 3)),
 
@@ -848,6 +866,27 @@ object SparkEntry {
         "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0",
 
       "dedup_jaccard_pairs" -> dedupJaccardOracle,
+
+      // exact ground truth for the fuzzy-dedup removal set: in the exact
+      // J >= 0.5 pair graph every dup group is a clique (planted dups are
+      // near-identical), so the non-minimum members are exactly the
+      // DISTINCT larger ids of the pairs — verified equal to the
+      // MinHash+LSH+CC removal set at sf0.01
+      "dedup_minhash_ids" -> {
+        val ws = duckWords("lower(text)")
+        s"""WITH g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                       ELSE list_transform(range(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS grams
+              FROM (SELECT doc_id, $ws AS ws FROM documents))
+            SELECT DISTINCT b.doc_id FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5"""
+      },
+
+      "lm_ppl_gate" ->
+        "SELECT true AS train_better, count(*) AS docs FROM documents",
 
       "knn_brute" ->
         """SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM (

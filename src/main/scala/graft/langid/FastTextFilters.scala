@@ -36,6 +36,24 @@ object FastTextFilters {
                      textCol: String = "text"): DataFrame =
     withLangId(df, model, textCol).filter(col("langid.score") >= minScore)
 
+  /** Same contract driven by a REAL fastText .bin artifact (the model
+    * file a production run is handed — reference loads lid.176.bin,
+    * fasttext_filter.py:69-77): "__label__xx" → "XX", newlines → spaces,
+    * top-1 softmax probability. The model deserializes once per executor
+    * via the closure broadcast.
+    */
+  def withLangIdBin(df: DataFrame, model: FastTextBin.Model,
+                    textCol: String = "text", outCol: String = "langid"): DataFrame = {
+    val u = udf((t: String) => {
+      if (t == null) LangIdPred(0.0, "UND")
+      else {
+        val (label, p) = model.predict(t.trim.replace("\n", " "))
+        LangIdPred(p, label.stripPrefix("__label__").toUpperCase(java.util.Locale.ROOT))
+      }
+    })
+    df.withColumn(outCol, u(col(textCol)))
+  }
+
   /** FastTextQualityFilter contract (fasttext_filter.py:23-55): text with
     * newlines→spaces and "__label__"→" ", P(label) (or 1-P if another
     * label wins), keep iff pareto(α=3) sample > 1 - score.

@@ -67,6 +67,73 @@ class ModelsSpec extends AnyFunSuite {
     f.delete()
   }
 
+  test("FastTextBin: write/read round trip preserves args, vocab and matrices") {
+    import FastTextBin._
+    val args = Args(dim = 4, ws = 5, epoch = 5, minCount = 1, neg = 5, wordNgrams = 2,
+      loss = 3, model = 3, bucket = 100, minn = 0, maxn = 0, lrUpdateRate = 100, t = 1e-4)
+    val vocab = Array(
+      Entry("the", 10, 0), Entry("chien", 7, 0), Entry("dog", 6, 0), Entry("</s>", 5, 0),
+      Entry("__label__en", 8, 1), Entry("__label__fr", 9, 1))
+    val rng = new java.util.Random(7)
+    val input = Array.fill(vocab.count(_.entryType == 0) + args.bucket, args.dim)(rng.nextFloat() - 0.5f)
+    val output = Array.fill(2, args.dim)(rng.nextFloat() - 0.5f)
+    val f = java.io.File.createTempFile("ftmodel", ".bin")
+    write(f.getPath, args, vocab, input, output)
+    val m = read(f.getPath)
+    assert(m.args == args)
+    assert(m.vocab.toSeq == vocab.toSeq)
+    assert(m.nwords == 4 && m.labels.toSeq == Seq("__label__en", "__label__fr"))
+    assert(m.input.flatten.toSeq == input.flatten.toSeq)
+    assert(m.output.flatten.toSeq == output.flatten.toSeq)
+    f.delete()
+  }
+
+  test("FastTextBin: predict = softmax(output · mean(input rows)) incl. word-ngram buckets") {
+    import FastTextBin._
+    val args = Args(dim = 2, ws = 5, epoch = 5, minCount = 1, neg = 5, wordNgrams = 2,
+      loss = 3, model = 3, bucket = 50, minn = 0, maxn = 0, lrUpdateRate = 100, t = 1e-4)
+    val vocab = Array(Entry("good", 4, 0), Entry("bad", 4, 0), Entry("</s>", 2, 0),
+      Entry("__label__pos", 3, 1), Entry("__label__neg", 3, 1))
+    val input = Array.tabulate(3 + args.bucket, 2)((r, c) => ((r * 2 + c) % 7 - 3) * 0.1f)
+    val output = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val f = java.io.File.createTempFile("ftmodel2", ".bin")
+    write(f.getPath, args, vocab, input, output)
+    val m = read(f.getPath)
+    // manual reference: ids = [good, </s>, bigram buckets(good+</s>)]
+    val ids = m.lineIds("good")
+    assert(ids.take(2) == Seq(0, 2), s"ids=$ids")
+    assert(ids.length == 3, "one word-bigram bucket expected") // (good,</s>)
+    val h = m.sentenceVector("good")
+    val exp0 = math.exp(h(0)); val exp1 = math.exp(h(1))
+    val pExpected = math.max(exp0, exp1) / (exp0 + exp1)
+    val (_, p) = m.predict("good")
+    assert(math.abs(p - pExpected) < 1e-9)
+    // OOV-only input still predicts (EOS + ngram buckets carry signal)
+    assert(m.predict("unseen tokens here")._2 > 0.0)
+    f.delete()
+  }
+
+  test("FastTextBin: subword buckets match the UTF-8 boundary walk (minn/maxn set)") {
+    import FastTextBin._
+    val args = Args(dim = 2, ws = 5, epoch = 5, minCount = 1, neg = 5, wordNgrams = 1,
+      loss = 3, model = 3, bucket = 1000, minn = 2, maxn = 3, lrUpdateRate = 100, t = 1e-4)
+    val vocab = Array(Entry("</s>", 2, 0), Entry("__label__x", 1, 1))
+    val input = Array.fill(1 + args.bucket, 2)(0.01f)
+    val output = Array(Array(1.0f, 1.0f))
+    val f = java.io.File.createTempFile("ftmodel3", ".bin")
+    write(f.getPath, args, vocab, input, output)
+    val m = read(f.getPath)
+    // "ab" -> <ab> : ngrams of len 2..3 skipping the 1-char boundary cases:
+    // <a, <ab, ab, ab>, b> — all length>=2 windows of "<ab>"
+    val subs = m.subwordIds("ab")
+    assert(subs.length == 5, s"got ${subs.length}")
+    assert(subs.forall(id => id >= 1 && id < 1 + args.bucket))
+    // multibyte char counts as ONE char in the n-gram walk
+    val subsCafe = m.subwordIds("é")   // <é> : <é, <é>, é> (len-2,3 windows)
+    assert(subsCafe.length == 3, s"got ${subsCafe.length}")
+    f.delete()
+  }
+
   test("heuristic stopword langid") {
     assert(TextStats.heuristicLangId("the cat is in the house and it is warm")._1 == "en")
     assert(TextStats.heuristicLangId("le chat est dans la maison et il est chaud")._1 == "fr")
