@@ -221,6 +221,10 @@ object SparkEntry {
     "hf_porn_urls" -> hfQuery(HF.PornographicUrls(), pornIn),
     "hf_substring" -> hfQuery(HF.Substring("PREFIX:", "prefix"), substrIn),
     "cf_alpha" -> hfQuery(graft.filters.CodeFilters.Alpha(), numIn),
+    // a long '. ' prefix tokenizes at 2.0 chars/token and dominates the
+    // doc, dropping every 5th doc below the 2.5 fertility cutoff
+    "cf_fertility" -> hfQuery(graft.filters.CodeFilters.TokenizerFertility(),
+      "CASE WHEN doc_id % 5 = 0 THEN repeat('. ', 800) || text ELSE text END"),
     "cf_num_lines" -> hfQuery(graft.filters.CodeFilters.NumberOfLines(2, 100), linesIn(sparkCh)),
     "cf_xml_header" -> hfQuery(graft.filters.CodeFilters.XmlHeader(),
       "CASE WHEN doc_id % 5 = 0 THEN '<?xml version=\"1.0\"?>' || text ELSE text END"),
@@ -304,6 +308,46 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .withColumn("_in", expr(boilIn(sparkCh)))
         .select(col("doc_id"), u(col("_in")).as("cleaned"))
+    }),
+
+    // jusText over constructed pages where every paragraph's class is
+    // forced by construction: even docs = link-nav (bad) + long dense
+    // paragraph (good) + short note (short→good between goods) + the
+    // same dense paragraph; odd docs = nav + a 150-char truncation
+    // (neargood→bad with bad neighbours) → extractor returns None
+    "justext_extract" -> ((s, dir) => {
+      val u = udf((t: String, odd: Boolean) => {
+        val enr = t.replace(" ", " the ")
+        // tripling forces length > 200 (good regime) even for the
+        // shortest docs; the truncation stays in [min(len,150)] so odd
+        // docs land in the short/neargood regimes that revise to bad
+        val tri = enr + " and " + enr + " and " + enr
+        val para = if (odd) enr.substring(0, math.min(150, enr.length)) else tri
+        val html =
+          if (odd)
+            s"""<body><div><a href="/">Home</a> <a href="/about">About</a></div><p>$para</p></body>"""
+          else
+            s"""<body><div><a href="/">Home</a> <a href="/about">About</a></div><p>$para</p><p>tiny note and more</p><p>$para</p></body>"""
+        graft.extract.JusText.extract(html).orNull
+      })
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), u(col("text"), col("doc_id") % 2 === 1).as("extracted"))
+    }),
+
+    // Megatron indexed-dataset export: tokenize + write .bin/.idx shards
+    // (one per partition), read the shards back, emit corpus totals the
+    // oracle recomputes from the raw table (whitespace tokenizer)
+    "megatron_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val out = java.nio.file.Files.createTempDirectory("graft_megatron").toString
+      val stats = graft.io.MegatronWriter.write(
+        docs, "text", out, graft.io.MegatronWriter.hashTokenizer(50000), vocabSize = 50000)
+      val back = stats.map { st =>
+        val seqs = graft.io.MegatronWriter.readShard(st.path)
+        (seqs.size.toLong, seqs.map(_.length.toLong).sum)
+      }
+      Seq((back.map(_._1).sum, back.map(_._2).sum)).toDF("docs", "total_tokens")
     }),
 
     // ================= html extraction =================
@@ -839,6 +883,26 @@ object SparkEntry {
       },
 
       "extract_html" -> extractHtmlOracle,
+
+      "justext_extract" -> {
+        val nn = s"${duckCh("10")} || ${duckCh("10")}"
+        s"""SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0
+                   THEN tri || $nn || 'tiny note and more' || $nn || tri
+                   ELSE NULL END AS extracted
+            FROM (SELECT doc_id, enr || ' and ' || enr || ' and ' || enr AS tri
+                  FROM (SELECT doc_id, replace(text, ' ', ' the ') AS enr FROM documents))"""
+      },
+
+      "cf_fertility" -> hfRatioOracle(
+        s"CAST(length(t) AS DOUBLE) / len(regexp_extract_all(t, '${graft.analysis.TextStats.bpePattern.replace("'", "''")}'))",
+        s"CAST(length(t) AS DOUBLE) / len(regexp_extract_all(t, '${graft.analysis.TextStats.bpePattern.replace("'", "''")}')) >= 2.5",
+        "CASE WHEN doc_id % 5 = 0 THEN repeat('. ', 800) || text ELSE text END"),
+
+      "megatron_roundtrip" -> {
+        val words = duckWords("text")
+        s"SELECT CAST(count(*) AS BIGINT) AS docs, CAST(sum(len($words)) AS BIGINT) AS total_tokens FROM documents"
+      },
 
       "ta_token_count" ->
         s"""SELECT doc_id, len(${duckWords("text")}) AS ws_tokens,

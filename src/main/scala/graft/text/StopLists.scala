@@ -1,0 +1,88 @@
+package graft.text
+
+/** Per-language stop lists for the extraction density gates.
+  *
+  * The reference builds its stop-list dict from the justext package's
+  * shipped lists plus custom zh/ja/th lists vendored from stopwords-iso
+  * (html_extractors/utils/__init__.py:18-66). Offline we carry: the
+  * built-in English list ([[graft.extract.HtmlExtract.enStopwords]]) and
+  * the same zh/ja/th DATA lists as plain resource files
+  * (tools/gen_stoplists.py extracts them — data, not code). Additional
+  * languages plug in by dropping `<lang>.txt` files on the classpath.
+  */
+object StopLists {
+
+  /** Languages whose scripts don't use spaces: the reference disables
+    * the boilerplate gate for these (html_extractors/base.py:19).
+    */
+  val nonSpacedLanguages: Set[String] = Set("THAI", "CHINESE", "JAPANESE", "KOREAN")
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  private def loadResource(name: String): Option[Set[String]] = {
+    val in = getClass.getResourceAsStream(s"/stopwords/$name.txt")
+    if (in == null) None
+    else {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try Some(src.getLines().map(_.trim).filter(_.nonEmpty).toSet)
+      finally src.close()
+    }
+  }
+
+  /** Stop list for an ISO 639-1 code ("en", "zh", "ja", "th", …); empty
+    * set when no list is available (density gates then keep nothing —
+    * same failure mode as the reference with a missing stoplist).
+    */
+  def forLang(lang: String): Set[String] = {
+    val key = lang.toLowerCase(java.util.Locale.ROOT)
+    cache.computeIfAbsent(key, {
+      case "en" => graft.extract.HtmlExtract.enStopwords
+      case k    => loadResource(k).getOrElse(Set.empty)
+    })
+  }
+
+  def isNonSpaced(langName: String): Boolean =
+    nonSpacedLanguages.contains(langName.toUpperCase(java.util.Locale.ROOT)) ||
+      Set("zh", "ja", "th", "ko").contains(langName.toLowerCase(java.util.Locale.ROOT))
+}
+
+/** Language-aware word segmentation, the shape of the reference's
+  * get_word_splitter (text_utils.py:20-66): jieba for zh, MeCab for ja,
+  * whitespace otherwise. Those segmenters are C/dict-backed and not
+  * available offline, so zh/ja here use a deterministic script-run
+  * splitter (each CJK codepoint is a token, runs of other scripts split
+  * on whitespace) — the documented offline stand-in with the same
+  * signature; a real segmenter plugs into the same slot at deploy.
+  */
+object Segmenter {
+
+  private def isCjk(cp: Int): Boolean = {
+    val b = Character.UnicodeBlock.of(cp)
+    b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+      b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_A ||
+      b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_B ||
+      b == Character.UnicodeBlock.CJK_COMPATIBILITY_IDEOGRAPHS ||
+      b == Character.UnicodeBlock.HIRAGANA ||
+      b == Character.UnicodeBlock.KATAKANA ||
+      b == Character.UnicodeBlock.HANGUL_SYLLABLES
+  }
+
+  /** Words of `text` under the language's segmentation convention. */
+  def words(lang: String, text: String): Array[String] = {
+    val l = lang.toLowerCase(java.util.Locale.ROOT)
+    if (l != "zh" && l != "ja" && l != "ko" && l != "th") return TextUtils.words(PyText.strip(text))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val run = new java.lang.StringBuilder()
+    def flushRun(): Unit = { if (run.length > 0) { out += run.toString; run.setLength(0) } }
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (Character.isWhitespace(cp)) flushRun()
+      else if (isCjk(cp)) { flushRun(); out += new String(Character.toChars(cp)) }
+      else run.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    flushRun()
+    out.toArray
+  }
+}
