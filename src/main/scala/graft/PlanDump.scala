@@ -23,6 +23,11 @@ object PlanDump {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     dump("knn_brute", graft.sim.Knn.bruteForceTopK(emb, emb.filter(col("vec_id")%50===0), 5))
     dump("q2_join", SparkEntry.queries("q2_join")(spark, dir))
+    dump("q3_topk", SparkEntry.queries("q3_topk")(spark, dir))
+    dump("knn_lsh_candidates_then_rerank",
+      graft.sim.Knn.lshTopK(emb, emb.filter(col("vec_id") % 50 === 0), 5, 64, 32, 6))
+    dump("semantic_ranked",
+      graft.dedup.SemanticDedup.removalIdsRanked(emb, k = 8, eps = 0.7))
     spark.stop()
   }
 }

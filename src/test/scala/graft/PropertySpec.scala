@@ -105,6 +105,72 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: Megatron shard round trip recovers every token sequence") {
+    val docGen = Gen.listOf(Gen.listOfN(3, Gen.alphaNumStr.map(_.take(6))).map(_.mkString(" ")))
+    forAll(docGen) { docs =>
+      val dir = java.nio.file.Files.createTempDirectory("megaprop").toString
+      val tok = graft.io.MegatronWriter.hashTokenizer(50000)
+      graft.io.MegatronWriter.writeShard(docs.iterator, s"$dir/p", tok, 2, appendEod = false, eodTokenId = -1)
+      val back = graft.io.MegatronWriter.readShard(s"$dir/p")
+      assert(back.map(_.toSeq) == docs.map(tok(_).toSeq))
+    }
+  }
+
+  test("property: fastText .bin round trip preserves prediction exactly") {
+    import graft.langid.FastTextBin
+    import FastTextBin.{Args, Entry}
+    val gen = for {
+      dim <- Gen.choose(2, 8)
+      nw <- Gen.choose(1, 6)
+      seed <- Gen.choose(0L, 1000L)
+    } yield (dim, nw, seed)
+    forAll(gen) { case (dim, nw, seed) =>
+      val rng = new java.util.Random(seed)
+      val words = (0 until nw).map(i => s"w$i").toArray
+      val vocab = (words.map(w => Entry(w, 2, 0.toByte)) :+ Entry("</s>", 1, 0.toByte)) ++
+        Array(Entry("__label__a", 1, 1.toByte), Entry("__label__b", 1, 1.toByte))
+      val args = Args(dim, 5, 5, 1, 5, 2, 3, 3, bucket = 64, minn = 0, maxn = 0,
+        lrUpdateRate = 100, t = 1e-4)
+      val input = Array.fill(nw + 1 + 64, dim)(rng.nextFloat() - 0.5f)
+      val output = Array.fill(2, dim)(rng.nextFloat() - 0.5f)
+      val f = java.io.File.createTempFile("ftprop", ".bin")
+      FastTextBin.write(f.getPath, args, vocab, input, output)
+      val m = FastTextBin.read(f.getPath)
+      val line = (0 until 4).map(_ => words(rng.nextInt(nw))).mkString(" ")
+      val direct = new FastTextBin.Model(args, vocab, input, output).predict(line)
+      assert(m.predict(line) == direct)
+      f.delete()
+    }
+  }
+
+  test("property: JusText good paragraphs are a subset of all paragraphs, order kept") {
+    val para = Gen.listOfN(30, Gen.oneOf("the", "of", "and", "words", "content", "here"))
+      .map(_.mkString(" "))
+    forAll(Gen.listOfN(4, para)) { ps =>
+      val html = "<body>" + ps.map(p => s"<p>$p</p>").mkString + "</body>"
+      val all = graft.extract.JusText.extract(html, keepBoilerplate = true)
+        .map(_.split("\n\n").toSeq).getOrElse(Nil)
+      val good = graft.extract.JusText.extract(html)
+        .map(_.split("\n\n").toSeq).getOrElse(Nil)
+      // goods appear in all, in order
+      var idx = 0
+      good.foreach { g =>
+        val at = all.indexOf(g, idx)
+        assert(at >= 0, s"good paragraph not found in order: $g")
+        idx = at
+      }
+    }
+  }
+
+  test("property: CJK segmentation loses no non-space characters") {
+    val zhChar = Gen.oneOf("这是一个测试的句子我们都好".toSeq).map(_.toString)
+    val piece = Gen.oneOf(zhChar, Gen.oneOf("abc", "x1", " "))
+    forAll(Gen.listOf(piece).map(_.mkString)) { t =>
+      val joined = graft.text.Segmenter.words("zh", t).mkString
+      assert(joined == t.replaceAll("\\s+", ""))
+    }
+  }
+
   test("property: cascade verdict is deterministic and scores stop at first reject") {
     forAll(text) { t =>
       val v1 = graft.filters.Cascade.evaluate(HF.englishCascade, t)
