@@ -109,14 +109,14 @@ object SemanticDedup {
     val withDist =
       if (whichToKeep == "random") clustered.withColumn("_cdist", lit(0.0))
       else clustered.withColumn("_cdist",
-        lit(1.0) - Knn.cosineUdf(col(vecCol), centroidOf(col("cluster"))))
+        lit(1.0) - Knn.cosineCol(col(vecCol), centroidOf(col("cluster"))))
     val w = Window.partitionBy("cluster").orderBy(rankKey, col(idCol).asc)
     val ranked = withDist.withColumn("_rank", row_number().over(w))
     val l = ranked.select(col("cluster"), col(vecCol).as("_v1"), col("_rank").as("_r1"))
     val r = ranked.select(col("cluster"), col(idCol).as("_removed"), col(vecCol).as("_v2"), col("_rank").as("_r2"))
     l.join(r, "cluster")
       .filter(col("_r1") < col("_r2"))
-      .filter(Knn.cosineUdf(col("_v1"), col("_v2")) >= lit(1.0 - eps))
+      .filter(Knn.cosineCol(col("_v1"), col("_v2")) >= lit(1.0 - eps))
       .select(col("_removed").as(idCol))
       .distinct()
   }

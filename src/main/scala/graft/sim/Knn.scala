@@ -35,7 +35,14 @@ object Knn {
     if (na == 0.0 || nb == 0.0) -1.0 else dot / math.sqrt(na * nb)
   }
 
+  /** UDF variant kept for callers holding plain Seqs; DataFrame paths
+    * below use the codegen'd native expression instead.
+    */
   val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
+
+  /** Codegen'd cosine over array<float> columns (no per-row boxing). */
+  def cosineCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Exact top-k cosine neighbors of each query vector.
     * queries is expected to be small (it is broadcast); corpus is the
@@ -48,7 +55,7 @@ object Knn {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosineUdf(col("_cv"), col("_qv")))
+      .withColumn("sim", cosineCol(col("_cv"), col("_qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
@@ -109,7 +116,7 @@ object Knn {
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     candidates.join(cv, "neighbor_id").join(qv, "query_id")
-      .withColumn("sim", cosineUdf(col("_cv"), col("_qv")))
+      .withColumn("sim", cosineCol(col("_cv"), col("_qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
@@ -154,7 +161,7 @@ object Knn {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     assigned.join(q, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosineUdf(col("_cv"), col("_qv")))
+      .withColumn("sim", cosineCol(col("_cv"), col("_qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
@@ -172,7 +179,7 @@ object Knn {
     val r = df.select(col(blockCol).as("_blk"), col(idCol).as("dst"), col(vecCol).as("_v2"))
     l.join(r, "_blk")
       .filter(col("src") < col("dst"))
-      .withColumn("cosine", cosineUdf(col("_v1"), col("_v2")))
+      .withColumn("cosine", cosineCol(col("_v1"), col("_v2")))
       .filter(col("cosine") >= minCosine)
       .select(col("src"), col("dst"), col("cosine"))
   }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal accessor for `private[sql]` Column↔Expression plumbing, the
+  * standard pattern for libraries that ship native Catalyst expressions
+  * against Spark 4 (the classic `new Column(expr)` constructor is no
+  * longer public). Kept to exactly two forwarding methods.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
