@@ -86,6 +86,42 @@ class JusTextSpec extends AnyFunSuite {
     assert(out.split("\n\n").length == 2)
   }
 
+  test("CommonCrawlExtractor: lang gate, per-language stop lists, algorithm dispatch") {
+    val goodHtml = s"<html><body><p>$goodText</p></body></html>".getBytes("UTF-8")
+    val ex = new CommonCrawlExtractor(algorithm = "justext")
+    val Some((lang, text)) = ex.extract(goodHtml)
+    assert(lang == "ENGLISH" && text == goodText)
+    // resiliparse path: single stopword-dense paragraph round trips
+    val exR = new CommonCrawlExtractor(algorithm = "resiliparse")
+    assert(exR.extract(goodHtml).map(_._2).contains(goodText))
+    // language with no stop list -> dropped (reference extract.py:80-83)
+    val exNoList = new CommonCrawlExtractor(langDetect = _ => "KLINGON")
+    assert(exNoList.extract(goodHtml).isEmpty)
+    // non-spaced language: justext keeps all paragraphs (boilerplate
+    // gate off), zh stop list present
+    val zhHtml = "<html><body><p>这是一个测试的句子我们都好这是一个测试的句子</p></body></html>".getBytes("UTF-8")
+    val exZh = new CommonCrawlExtractor(langDetect = _ => "CHINESE")
+    val out = exZh.extract(zhHtml)
+    assert(out.exists(_._2.contains("这是一个测试")), s"got $out")
+    // undecodable bytes -> None is impossible (cp1252 fallback accepts
+    // any byte sequence) but empty html -> None
+    assert(ex.extract("<html><body></body></html>".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("CommonCrawlExtractor: DataFrame stage drops gated rows and appends (language, text)") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, s"<body><p>$goodText</p></body>".getBytes("UTF-8")),
+      (2L, "<body><p>xq zv qqq</p></body>".getBytes("UTF-8"))) // und -> no stop list
+    val df = rows.toDF("id", "html")
+    val out = new CommonCrawlExtractor().extractColumns(df)
+      .select("id", "language", "text").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L && out(0).getString(1) == "ENGLISH")
+    assert(out(0).getString(2) == goodText)
+  }
+
   test("stop lists load for zh/ja/th and non-spaced detection works") {
     assert(StopLists.forLang("zh").size > 700)
     assert(StopLists.forLang("ja").size > 100)
