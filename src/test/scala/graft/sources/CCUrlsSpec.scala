@@ -73,6 +73,40 @@ class CCUrlsSpec extends AnyFunSuite {
     assert(CCUrls.parseCollinfoIds(json) == Seq("CC-MAIN-2023-14", "CC-MAIN-2023-06"))
   }
 
+  test("downloader: filename derivation, skip-if-exists, atomic temp rename, failure drop") {
+    val dir = java.nio.file.Files.createTempDirectory("warcdl").toString
+    var fetches = 0
+    val fetch: String => Array[Byte] = {
+      case u if u.contains("bad") => throw new RuntimeException("boom")
+      case u => fetches += 1; s"bytes-of-$u".getBytes("UTF-8")
+    }
+    val dl = new WarcDownloader(dir, fetch)
+    assert(dl.outputFilename("https://data.commoncrawl.org/crawl-data/CC-MAIN-2023-14/seg/warc/a.warc.gz")
+      == "crawl-data-CC-MAIN-2023-14-seg-warc-a.warc.gz")
+    val url = "https://h/x/y/file.warc.gz"
+    val Some(p1) = dl.download(url)
+    assert(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p1))) == s"bytes-of-$url")
+    // second call: resume path, no new fetch
+    assert(dl.download(url).contains(p1) && fetches == 1)
+    // failure: None, no tmp residue
+    assert(dl.download("https://h/bad.warc.gz").isEmpty)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp")))
+  }
+
+  test("downloader: distributed stage keeps successes only") {
+    val spark = graft.SparkTestBase.spark
+    val dir = java.nio.file.Files.createTempDirectory("warcdl2").toString
+    val fetch: String => Array[Byte] = {
+      case u if u.contains("bad") => throw new RuntimeException("boom")
+      case u => u.getBytes("UTF-8")
+    }
+    val urls = WarcDownloader.urlDataset(spark,
+      Seq("https://h/a.gz", "https://h/bad.gz", "https://h/b.gz"), partitions = 2)
+    val out = new WarcDownloader(dir, fetch).downloadAll(urls).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => new java.io.File(r.getAs[String]("local_path")).exists()))
+  }
+
   test("no-egress fetcher fails loudly") {
     val ex = intercept[IllegalStateException](CCUrls.noEgressFetcher("http://x"))
     assert(ex.getMessage.contains("no egress"))
