@@ -47,7 +47,14 @@ object SemanticDedup {
     */
   def fitModel(df: DataFrame, k: Int, seed: Long = 42,
                vecCol: String = "embedding", fitCap: Int = FitSampleCap): KMeansModel = {
-    val fitSample = df.select(toVec(col(vecCol)).as("_features")).limit(fitCap).cache()
+    // hash-ordered cap, not a prefix: limit() alone takes the FIRST
+    // files of the scan, which on partitioned/sorted corpora is a
+    // biased slice (e.g. one language) — orderBy(xxhash64)+limit is a
+    // TakeOrdered partial top-N (no full sort) over a pseudo-random key
+    val fitSample = df.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol)))
+      .limit(fitCap)
+      .select(toVec(col(vecCol)).as("_features")).cache()
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features")
       .setPredictionCol("cluster").setMaxIter(20)
       .fit(fitSample)
@@ -101,16 +108,20 @@ object SemanticDedup {
     val clustered = assign(df, model, vecCol)
     val centroids: Array[Array[Float]] = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val centroidOf = udf((cluster: Int) => centroids(cluster).toSeq)
-    val rankKey = whichToKeep match {
-      case "hard"   => col("_cdist").desc
-      case "easy"   => col("_cdist").asc
-      case "random" => xxhash64(col(idCol), lit(seed)).asc
+    // the reference RankingStrategy sorts [distance, id] with ONE
+    // ascending flag — the id tie-break follows the distance direction
+    // (descending for "hard"), which decides keep/remove for exact
+    // duplicates (equal distances)
+    val rankKey: Seq[org.apache.spark.sql.Column] = whichToKeep match {
+      case "hard"   => Seq(col("_cdist").desc, col(idCol).desc)
+      case "easy"   => Seq(col("_cdist").asc, col(idCol).asc)
+      case "random" => Seq(xxhash64(col(idCol), lit(seed)).asc, col(idCol).asc)
     }
     val withDist =
       if (whichToKeep == "random") clustered.withColumn("_cdist", lit(0.0))
       else clustered.withColumn("_cdist",
         lit(1.0) - Knn.cosineCol(col(vecCol), centroidOf(col("cluster"))))
-    val w = Window.partitionBy("cluster").orderBy(rankKey, col(idCol).asc)
+    val w = Window.partitionBy("cluster").orderBy(rankKey: _*)
     val ranked = withDist.withColumn("_rank", row_number().over(w))
     val l = ranked.select(col("cluster"), col(vecCol).as("_v1"), col("_rank").as("_r1"))
     val r = ranked.select(col("cluster"), col(idCol).as("_removed"), col(vecCol).as("_v2"), col("_rank").as("_r2"))

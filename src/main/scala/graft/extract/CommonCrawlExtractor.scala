@@ -37,7 +37,13 @@ final class CommonCrawlExtractor(
             JusText.extract(html, sw, justextParams,
               keepBoilerplate = StopLists.isNonSpaced(lang))
           case "resiliparse" =>
-            HtmlExtract.extractText(html, sw)
+            // non-spaced languages: whitespace tokens never match the
+            // stop list, so the density gate must be bypassed (the
+            // reference's resiliparse path skips it for
+            // NON_SPACED_LANGUAGES exactly like justext's
+            // is_boilerplate=False)
+            HtmlExtract.extractText(html, sw,
+              applyDensity = !StopLists.isNonSpaced(lang))
         }
         text.filter(_.nonEmpty).map(t => (lang, t))
       }
@@ -47,8 +53,13 @@ final class CommonCrawlExtractor(
     * fail any gate dropped, (language, text) appended.
     */
   def extractColumns(df: DataFrame, htmlCol: String = "html"): DataFrame = {
+    // nondeterministic ON PURPOSE (the fn is pure but expensive):
+    // stops predicate pushdown from evaluating decode+langid+extract
+    // twice per surviving row (once in the pushed Filter, once in the
+    // Project) — same fix as Cascade.score
     val u = udf((b: Array[Byte]) =>
       if (b == null) null else extract(b).map { case (l, t) => (l, t) }.orNull)
+      .asNondeterministic()
     df.withColumn("_ex", u(col(htmlCol)))
       .filter(col("_ex").isNotNull)
       .withColumn("language", col("_ex._1"))

@@ -58,7 +58,13 @@ object MegatronWriter {
         val tokens = if (appendEod) base :+ eodTokenId else base
         lengths += tokens.length
         val buf = ByteBuffer.allocate(tokens.length * tokenSize).order(ByteOrder.LITTLE_ENDIAN)
-        if (tokenSize == 2) tokens.foreach(t => buf.putShort((t & 0xffff).toShort))
+        if (tokenSize == 2) tokens.foreach { t =>
+          // masking would silently corrupt the exported dataset — fail
+          // fast on any id the uint16 width cannot represent
+          require(t >= 0 && t <= 0xffff,
+            s"token id $t does not fit uint16 — use vocabSize > 65536 for the int32 path")
+          buf.putShort(t.toShort)
+        }
         else tokens.foreach(buf.putInt)
         bin.write(buf.array())
       }

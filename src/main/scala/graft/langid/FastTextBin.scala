@@ -60,7 +60,8 @@ object FastTextBin {
   }
 
   final class Model(val args: Args, val vocab: Array[Entry],
-                    val input: Array[Array[Float]], val output: Array[Array[Float]]) {
+                    val input: Array[Array[Float]], val output: Array[Array[Float]])
+      extends Serializable {
 
     val nwords: Int = vocab.count(_.entryType == 0)
     val labels: Array[String] = vocab.filter(_.entryType == 1).map(_.word)
@@ -128,14 +129,17 @@ object FastTextBin {
           wordHashes += hash(tok)
         } // known labels are not input features
       }
-      // addWordNgrams: h = h*116049371 + next (uint64 in C++; Long wrap ok)
+      // addWordNgrams: h = h*116049371 + next. C++ stores the uint32
+      // token hash in an int32 vector and SIGN-EXTENDS it into uint64
+      // (Dictionary::addWordNgrams takes std::vector<int32_t>) — mirror
+      // that with .toInt.toLong or buckets diverge for hashes >= 2^31
       if (args.wordNgrams > 1 && args.bucket > 0) {
         var i = 0
         while (i < wordHashes.length) {
-          var h = wordHashes(i)
+          var h = wordHashes(i).toInt.toLong
           var j = i + 1
           while (j < math.min(wordHashes.length, i + args.wordNgrams)) {
-            h = h * 116049371L + wordHashes(j)
+            h = h * 116049371L + wordHashes(j).toInt.toLong
             ids += (nwords + java.lang.Long.remainderUnsigned(h, args.bucket.toLong).toInt)
             j += 1
           }
@@ -190,6 +194,11 @@ object FastTextBin {
     val args = Args(buf.getInt(), buf.getInt(), buf.getInt(), buf.getInt(), buf.getInt(),
       buf.getInt(), buf.getInt(), buf.getInt(), buf.getInt(), buf.getInt(), buf.getInt(),
       buf.getInt(), buf.getDouble())
+    // predictAll assumes flat softmax (output rows == nlabels); a
+    // hierarchical-softmax model stores Huffman tree rows and would be
+    // silently mis-zipped into garbage — reject it loudly
+    require(args.loss == 3,
+      s"only softmax-loss supervised models are supported (loss enum ${args.loss})")
     val size = buf.getInt(); val nwords = buf.getInt(); val nlabels = buf.getInt()
     buf.getLong() // ntokens
     val pruneidxSize = buf.getLong()

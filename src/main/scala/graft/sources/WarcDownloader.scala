@@ -53,7 +53,10 @@ final class WarcDownloader(downloadDir: String,
     * urls dropped — reference process() collects successes only).
     */
   def downloadAll(urls: DataFrame, urlCol: String = "url"): DataFrame = {
-    val u = udf((url: String) => download(url).orNull)
+    // side-effecting (network + filesystem): MUST be nondeterministic
+    // so the optimizer never duplicates or reorders the download per
+    // row (a pushed isnotnull(u(url)) filter would run it twice)
+    val u = udf((url: String) => download(url).orNull).asNondeterministic()
     urls.withColumn("local_path", u(col(urlCol)))
       .filter(col("local_path").isNotNull)
   }

@@ -67,10 +67,14 @@ object Segmenter {
       b == Character.UnicodeBlock.HANGUL_SYLLABLES
   }
 
-  /** Words of `text` under the language's segmentation convention. */
+  /** Words of `text` under the language's segmentation convention.
+    * Only zh/ja take the CJK-run path — the reference's
+    * get_word_splitter special-cases exactly jieba (zh) and MeCab (ja)
+    * and whitespace-splits everything else, including Korean and Thai.
+    */
   def words(lang: String, text: String): Array[String] = {
     val l = lang.toLowerCase(java.util.Locale.ROOT)
-    if (l != "zh" && l != "ja" && l != "ko" && l != "th") return TextUtils.words(PyText.strip(text))
+    if (l != "zh" && l != "ja") return TextUtils.words(PyText.strip(text))
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val run = new java.lang.StringBuilder()
     def flushRun(): Unit = { if (run.length > 0) { out += run.toString; run.setLength(0) } }
