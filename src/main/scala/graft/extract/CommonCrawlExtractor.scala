@@ -22,8 +22,10 @@ final class CommonCrawlExtractor(
     algorithm: String = "justext",
     langDetect: String => String = CommonCrawlExtractor.heuristicLangNames,
     stopLists: Map[String, Set[String]] = CommonCrawlExtractor.defaultStopLists,
-    justextParams: JusText.Params = JusText.Params()) extends Serializable {
-  require(Set("justext", "resiliparse").contains(algorithm), s"Invalid algorithm: $algorithm")
+    justextParams: JusText.Params = JusText.Params(),
+    trafilaturaParams: TrafilaturaExtract = TrafilaturaExtract()) extends Serializable {
+  require(Set("justext", "resiliparse", "trafilatura").contains(algorithm),
+    s"Invalid algorithm: $algorithm")
 
   /** bytes → Some((language, text)) per the reference flow, None when
     * decode fails, the language has no stop list, or nothing survives.
@@ -44,6 +46,8 @@ final class CommonCrawlExtractor(
             // is_boilerplate=False)
             HtmlExtract.extractText(html, sw,
               applyDensity = !StopLists.isNonSpaced(lang))
+          case "trafilatura" =>
+            trafilaturaParams.extract(html, sw, lang)
         }
         text.filter(_.nonEmpty).map(t => (lang, t))
       }

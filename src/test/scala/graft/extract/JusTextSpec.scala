@@ -108,6 +108,37 @@ class JusTextSpec extends AnyFunSuite {
     assert(ex.extract("<html><body></body></html>".getBytes("UTF-8")).isEmpty)
   }
 
+  test("TrafilaturaExtract: fallback, dedup, density gate, output floor") {
+    val t = TrafilaturaExtract()
+    // nav-pruned main content is long enough -> no fallback; footer text absent
+    val html = s"""<html><body><nav><a href="/">Home</a></nav><main>
+      <p>$goodText</p><p>$goodText</p><p>$goodText</p>
+      <footer>Copyright 2024</footer></main></body></html>"""
+    val out = t.extract(html, sw).get
+    assert(!out.contains("Home") && !out.contains("Copyright"))
+    // dedup: same >=100-char paragraph 3x with max_repetitions=2 keeps 2
+    assert(out.split("\n\n").length == 2)
+    // short paragraphs bypass the dup check (min_duplcheck_size)
+    val shortDup = s"<body><p>$goodText</p><p>hi there all</p><p>hi there all</p><p>hi there all</p></body>"
+    val out2 = TrafilaturaExtract(requiredStopwordDensity = 0.0).extract(shortDup, sw).get
+    assert(out2.split("\n\n").count(_ == "hi there all") == 3)
+    // fallback: main content too small -> unpruned re-extraction keeps nav text
+    val navHeavy = s"""<body><nav><p>$goodText</p></nav><main><p>tiny</p></main></body>"""
+    val out3 = TrafilaturaExtract(requiredStopwordDensity = 0.0).extract(navHeavy, sw).get
+    assert(out3.contains(goodText.substring(0, 20)))
+    // density gate drops stopword-poor paragraphs
+    val poor = "<body><main><p>" + ("lorem zzz qqq www " * 20) + "</p></main></body>"
+    assert(t.extract(poor, sw).isEmpty)
+    // non-spaced language skips the gate
+    assert(TrafilaturaExtract(minExtractedSize = 1)
+      .extract("<body><main><p>这是一个测试的句子这是一个测试的句子这是一个测试</p></main></body>",
+        StopLists.forLang("zh"), "CHINESE").nonEmpty)
+    // dispatch through CommonCrawlExtractor
+    val ex = new CommonCrawlExtractor(algorithm = "trafilatura")
+    val simple = s"<html><body><main><p>$goodText</p></main></body></html>".getBytes("UTF-8")
+    assert(ex.extract(simple).map(_._2).contains(goodText))
+  }
+
   test("CommonCrawlExtractor: DataFrame stage drops gated rows and appends (language, text)") {
     val spark = graft.SparkTestBase.spark
     import spark.implicits._
