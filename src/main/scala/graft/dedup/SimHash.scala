@@ -86,6 +86,24 @@ object SimHash {
     * pairs (what [[nearDupPairs]] reports) melted a 5000-doc clique into
     * 12.5M edges; the chain emits 4,999.
     */
+  /** Candidate pairs verified by exact token-n-gram Jaccard — the
+    * sketch-then-verify shape (same as MinHashLSH.verifiedPairs): the
+    * simhash bands propose, the exact measure disposes. Text joins back
+    * only for the candidate pairs.
+    */
+  def verifiedNearDupPairs(df: DataFrame, maxHamming: Int = 4, minJaccard: Double = 0.5,
+                           ngram: Int = 3, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val edges = nearDupPairs(df, maxHamming, idCol, textCol).select(col("src"), col("dst"))
+    val jacc = udf((t1: String, t2: String) => MinHashLSH.ngramJaccard(t1, t2, ngram))
+    val left = df.select(col(idCol).as("src"), col(textCol).as("_t1"))
+    val right = df.select(col(idCol).as("dst"), col(textCol).as("_t2"))
+    edges.join(left, "src").join(right, "dst")
+      .withColumn("jaccard", jacc(col("_t1"), col("_t2")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("src"), col("dst"), col("jaccard"))
+  }
+
   def removalIds(df: DataFrame, maxHamming: Int = 3,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // eager localCheckpoint: groups feeds two consumers (chain edges and
