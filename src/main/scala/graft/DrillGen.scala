@@ -6,7 +6,7 @@ object DrillGen {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.fixtures.CCPages.generate(spark, args(0).toLong, partitions = 16)
+    graft.fixtures.CCPages.generate(spark, args(0).toLong, partitions = if (args.length > 2) args(2).toInt else 16)
       .write.mode("overwrite").parquet(args(1))
     spark.stop()
   }
