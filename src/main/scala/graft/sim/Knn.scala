@@ -137,10 +137,17 @@ object Knn {
       val n = math.sqrt(arr.map(x => x * x).sum)
       Vectors.dense(if (n == 0) arr else arr.map(_ / n))
     })
-    val feat = corpus.withColumn("_f", toVec(col(vecCol)))
+    // centroid FIT on a bounded hash-ordered sample (TakeOrdered partial
+    // top-N — no full sort, no bias toward the scan's first files);
+    // ASSIGNMENT is the one full pass (same discipline as SemanticDedup)
+    val fitSample = corpus.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol))).limit(100000)
+      .select(toVec(col(vecCol)).as("_f")).cache()
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(cells).setSeed(seed).setFeaturesCol("_f").setPredictionCol("cell")
-      .setMaxIter(10).fit(feat)
+      .setMaxIter(10).fit(fitSample)
+    fitSample.unpersist()
+    val feat = corpus.withColumn("_f", toVec(col(vecCol)))
     val assigned = model.transform(feat).drop("_f")
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("cell"))
     val centroids = model.clusterCenters.zipWithIndex
