@@ -35,6 +35,22 @@ object StreamingCuration {
         sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
       .select(col("window.start").as("window_start"), col("lang"), col("docs"), col("kept"))
 
+  /** Streaming exact dedup: drop content-duplicate documents within the
+    * watermark horizon. State is the set of (md5) keys seen inside the
+    * watermark window — bounded by arrival rate × horizon, evicted by
+    * the engine (dropDuplicatesWithinWatermark), unlike a plain
+    * dropDuplicates whose state grows without bound. The batch analogue
+    * is ExactDedup.removeDuplicates; on a stream "keep first arrival"
+    * replaces "keep min id" (arrival order IS the precedence).
+    */
+  def dedupExactStream(pages: DataFrame, tsCol: String = "warc_ts",
+                       textCol: String = "text", horizon: String = "1 hour"): DataFrame =
+    pages
+      .withColumn("_dup_hash", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("_dup_hash")
+      .drop("_dup_hash")
+
   /** Write the kept documents as a parquet sink with checkpointing —
     * exactly-once file output; restarts resume from the checkpoint.
     */

@@ -53,6 +53,25 @@ class ResumeStreamingSpec extends AnyFunSuite {
       batch.select("url").as[String].collect().toSet)
   }
 
+  test("streaming exact dedup drops content duplicates within the watermark") {
+    val tmp = Files.createTempDirectory("sdedup").toString
+    // cc_pages_tiny carries a planted exact-duplicate group (rows 8,48,88,...)
+    val pages = spark.read.parquet("src/test/resources/cc_pages_tiny").limit(300)
+    pages.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(pages.schema).parquet(s"$tmp/in")
+    val deduped = StreamingCuration.dedupExactStream(stream)
+    val q = deduped.writeStream.format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/out")
+    val batchDistinct = pages.select("text").distinct().count()
+    assert(out.count() == batchDistinct,
+      s"streamed dedup ${out.count()} vs batch distinct $batchDistinct")
+    assert(out.select("text").distinct().count() == out.count())
+  }
+
   test("sessionization: streaming flatMapGroupsWithState matches batch windows") {
     import graft.streaming.Sessionize
     val tmp = Files.createTempDirectory("sess").toString
