@@ -72,16 +72,18 @@ object TextStats {
   }
 
   /** 64-bit polynomial rolling-hash document fingerprint (Rabin-style,
-    * base 257 over UTF-16 code units — non-BMP chars hash as their
-    * surrogate pair, matching the oracle's per-UTF-16-unit fold). Stable
-    * across JVMs; usable as a cheap content id for incremental pipelines.
+    * base 257 over Unicode CODE POINTS — the same fold the DuckDB oracle
+    * computes with split+ord, so the two stay aligned for non-BMP input
+    * too). Stable across JVMs; usable as a cheap content id for
+    * incremental pipelines.
     */
   def fingerprint64(text: String): Long = {
     var h = 0L
     var i = 0
     while (i < text.length) {
-      h = h * 257 + text.charAt(i)
-      i += 1
+      val cp = text.codePointAt(i)
+      h = h * 257 + cp
+      i += Character.charCount(cp)
     }
     h
   }
