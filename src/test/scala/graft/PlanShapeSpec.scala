@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards for the scale disciplines PLANS.md
+  * documents: these FAIL if a future change reintroduces a wide shuffle,
+  * a global sort, or an un-broadcast join on the hot paths. (Plan
+  * inspection happens pre-AQE on the initial executedPlan, which is
+  * where the static shape is decided.)
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docsPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("planshape").toString
+    spark.range(0, 200)
+      .selectExpr("id AS doc_id", "concat('some text of doc ', id, ' with words') AS text")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private def docs = spark.read.parquet(docsPath)
+
+  private lazy val embPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("planshape_emb").toString
+    spark.range(0, 100)
+      .selectExpr("id AS vec_id",
+        "cast(array(rand(1), rand(2), rand(3), rand(4)) AS array<float>) AS embedding")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private def emb = spark.read.parquet(embPath)
+
+  /** AQE wraps the plan in AdaptiveSparkPlanExec whose inner plan is a
+    * field, not a child — collect() must traverse the initial plan.
+    */
+  private def unwrap(df: DataFrame): SparkPlan = df.queryExecution.executedPlan match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+    case p => p
+  }
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
+    unwrap(df).collect { case e: ShuffleExchangeExec => e }
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("curation pipeline has ZERO exchanges (pure narrow map work)") {
+    val curated = graft.pipeline.CurationPipeline.keptOutput(
+      graft.pipeline.CurationPipeline.curate(docs))
+    assert(shuffles(curated).isEmpty, planString(curated))
+  }
+
+  test("exact dedup shuffles carry only thin columns, never the text") {
+    val removal = graft.dedup.ExactDedup.removalIds(docs)
+    val wide = shuffles(removal).filter(_.child.output.exists(_.name == "text"))
+    assert(wide.isEmpty, s"text column entered a shuffle:\n${planString(removal)}")
+  }
+
+  test("minhash LSH shuffles never carry text or full signatures") {
+    val edges = graft.dedup.MinHashLSH.candidateEdges(docs)
+    val bad = shuffles(edges).filter(_.child.output.exists(a =>
+      a.name == "text" || a.name == "sig"))
+    assert(bad.isEmpty, s"wide column entered a shuffle:\n${planString(edges)}")
+  }
+
+  test("lshTopK candidate dedup shuffles two ids only; vectors re-attach later") {
+    val out = graft.sim.Knn.lshTopK(emb, emb.filter($"vec_id" % 20 === 0), 3, dim = 4,
+      tables = 4, bits = 4)
+    val vecShuffles = shuffles(out).filter(_.child.output.exists(a =>
+      a.name == "_cv" || a.name == "_qv" || a.name == "embedding"))
+    // the only acceptable vector movement is the final per-query window
+    // rank over the already-thinned candidate set
+    assert(vecShuffles.size <= 1, planString(out))
+    val idOnly = shuffles(out).filter(e =>
+      e.child.output.map(_.name).toSet == Set("query_id", "neighbor_id"))
+    assert(idOnly.nonEmpty, s"expected an id-only dedup exchange:\n${planString(out)}")
+  }
+
+  test("q2_join broadcasts both dimension tables (no sort-merge join)") {
+    val q = SparkEntry.queries("q2_join")(spark, "/root/testdata/sf0.001")
+    val plan = planString(q)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q3_topk compiles to TakeOrderedAndProject, no unpartitioned window warning path") {
+    val q = SparkEntry.queries("q3_topk")(spark, "/root/testdata/sf0.001")
+    val plan = planString(q)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the rn window must be partitioned (constant key) — an empty
+    // partition spec would be the single-partition scale-killer
+    assert(!plan.matches("(?s).*Window.*\\[\\]\\s*$.*"), plan)
+  }
+
+  test("filter pushdown and column pruning reach the parquet scan") {
+    val q = docs.filter($"doc_id" > 100).select("doc_id")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]"), scan)
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint>"), scan)
+  }
+
+  test("cascade UDF is evaluated once per row (no re-evaluation under pushed filters)") {
+    val scored = graft.filters.Cascade.score(docs).filter($"keep").select("doc_id")
+    val plan = planString(scored)
+    val udfCount = "UDF".r.findAllIn(plan).length
+    assert(udfCount <= 2, s"cascade UDF appears $udfCount times:\n$plan")
+  }
+}
