@@ -461,6 +461,19 @@ object SparkEntry {
           (coalesce(col("hits"), lit(0)) / 5.0 >= 0.5).as("recall_ok"))
     }),
 
+    // TEXT -> embedding -> kmeans cells -> within-cell pairwise: the
+    // full embedder-stage pipeline (deterministic feature-hashing
+    // embedder standing in the sentence-transformer slot). The planted
+    // near-dup texts separate cleanly in hashed-ngram space (pair
+    // cosine >= 0.979 vs <= 0.916 natural), so the recovered pair set
+    // equals the exact token-Jaccard ground truth the oracle computes
+    "emb_text_neardup" -> ((s, dir) => {
+      val emb = graft.sim.HashEmbedder.withEmbedding(tbl(s, dir, "documents"))
+        .select("doc_id", "embedding")
+      graft.dedup.SemanticDedup.nearDupPairs(emb, k = 8, eps = 0.05, idCol = "doc_id")
+        .select("src", "dst")
+    }),
+
     "emb_neardup" -> ((s, dir) => {
       Knn.nearDupPairsWithin(tbl(s, dir, "embeddings"), "label", minCosine = 0.3)
         .select(col("src"), col("dst"), round(col("cosine"), 4).as("cosine"))
@@ -946,6 +959,10 @@ object SparkEntry {
       // same exact ground truth: simhash(hamming<=4)+verify(J>=0.5) and
       // minhash-LSH+verify both recover the planted-dup pair set exactly
       "dedup_simhash_pairs" -> dedupJaccardOracle,
+
+      // and the embed->cluster->pairwise path recovers the same pair SET
+      "emb_text_neardup" ->
+        s"SELECT src, dst FROM ($dedupJaccardOracle)",
 
       // exact ground truth for the fuzzy-dedup removal set: in the exact
       // J >= 0.5 pair graph every dup group is a clique (planted dups are
