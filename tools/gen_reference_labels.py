@@ -136,3 +136,24 @@ docs = pq.read_table("/root/testdata/sf0.01/documents.parquet",
                      columns=["doc_id", "text"])
 run(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()),
     "src/test/resources/labels_ref_documents.parquet", "doc_id", pa.int64())
+
+# 3. content-keyed labels across BOTH shared-testdata scales: the oracle
+# joins on md5(text), so the cascade_en check holds no matter which sf
+# directory the driver points Verify at
+import hashlib
+seen = {}
+for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+    docs = pq.read_table(f"/root/testdata/{sf}/documents.parquet", columns=["text"])
+    for text in docs.column("text").to_pylist():
+        key = hashlib.md5(text.encode("utf-8")).hexdigest()
+        if key not in seen:
+            k, r, _ = label(text)
+            seen[key] = (k, r)
+table = pa.table({
+    "text_md5": pa.array(list(seen.keys()), pa.string()),
+    "keep": pa.array([v[0] for v in seen.values()], pa.bool_()),
+    "first_reject": pa.array([v[1] for v in seen.values()], pa.string()),
+})
+pq.write_table(table, "src/test/resources/labels_ref_by_md5.parquet")
+kept = sum(v[0] for v in seen.values())
+print(f"labels_ref_by_md5: {len(seen)} distinct texts, {kept} kept")
