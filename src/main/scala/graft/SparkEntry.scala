@@ -507,7 +507,13 @@ object SparkEntry {
 
     "ft_langid" -> ((s, dir) => {
       // hashed char-ngram linear model trained on the table's own
-      // (lang, text) pairs; fastText-LangId contract output
+      // (lang, text) pairs; fastText-LangId contract output.
+      // rows-only BY NECESSITY: trained-model inference is not
+      // SQL-expressible, and no accuracy gate is possible on this
+      // testdata (the lang column is synthetic metadata over
+      // identically-distributed text — no model can separate it);
+      // the operator itself is covered by ModelsSpec/NewOpsSpec and
+      // the .bin end-to-end test
       val docs = tbl(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 2 === 0)
         .select("doc_id", "lang", "text").orderBy("doc_id").limit(TrainCap)
@@ -519,7 +525,10 @@ object SparkEntry {
     }),
 
     "ft_quality" -> ((s, dir) => {
-      // stochastic Pareto keep (deterministic per-row sampling)
+      // stochastic Pareto keep (deterministic per-row sampling).
+      // rows-only BY NECESSITY: the keep set depends on the trained
+      // model's scores — the Pareto mechanism itself is covered by the
+      // NewOpsSpec distribution test
       val docs = tbl(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 7 === 0)
         .select("doc_id", "source", "text").orderBy("doc_id").limit(TrainCap)
