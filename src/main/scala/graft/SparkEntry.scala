@@ -236,6 +236,14 @@ object SparkEntry {
         .select("doc_id", "keep", "first_reject")
     }),
 
+    // the 25-stage NON-English cascade (the reference's second shipped
+    // pipeline config) — oracle = reference-generated labels, md5-keyed
+    "cascade_non_en" -> ((s, dir) => {
+      graft.filters.Cascade.score(tbl(s, dir, "documents"),
+          filters = graft.filters.HeuristicFilters.nonEnglishCascade)
+        .select("doc_id", "keep", "first_reject")
+    }),
+
     // ================= scrubbing / modifiers =================
     "scrub_pii" -> ((s, dir) => {
       val u = udf((t: String) => PiiScrub.scrubPii(t))
@@ -841,6 +849,12 @@ object SparkEntry {
         """SELECT d.doc_id, l.keep, l.first_reject
            FROM documents d
            JOIN '/root/repo/src/test/resources/labels_ref_by_md5.parquet' l
+             ON md5(d.text) = l.text_md5""",
+
+      "cascade_non_en" ->
+        """SELECT d.doc_id, l.keep, l.first_reject
+           FROM documents d
+           JOIN '/root/repo/src/test/resources/labels_ref_non_en_by_md5.parquet' l
              ON md5(d.text) = l.text_md5""",
 
       "cf_alpha" -> hfRatioOracle(

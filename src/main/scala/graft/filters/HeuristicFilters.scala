@@ -635,4 +635,37 @@ object HeuristicFilters {
     RepeatingDuplicateNGrams(10, 0.10),
     Bullets(0.9)
   )
+
+  /** The 25-stage NON-English cascade, exact order and thresholds of
+    * config/text/heuristic_filter_non_english_pipeline.yaml — the
+    * English cascade minus its language-specific stages
+    * (NonAlphaNumeric, CommonEnglishWords, WordsWithoutAlphabets).
+    */
+  val nonEnglishCascade: Array[DocFilter] = Array(
+    SymbolsToWords(0.1),
+    Numbers(0.15),
+    Urls(0.2),
+    WhiteSpace(0.25),
+    Parentheses(0.1),
+    BoilerPlateString(0.4),
+    RepeatedLines(0.7),
+    RepeatedParagraphs(0.7),
+    RepeatedLinesByChar(0.8),
+    RepeatedParagraphsByChar(0.8),
+    WordCount(50, 100000),
+    Punctuation(0.85),
+    MeanWordLength(3, 10),
+    LongWord(1000),
+    Ellipsis(0.3),
+    RepeatingTopNGrams(2, 0.2),
+    RepeatingTopNGrams(3, 0.18),
+    RepeatingTopNGrams(4, 0.16),
+    RepeatingDuplicateNGrams(5, 0.15),
+    RepeatingDuplicateNGrams(6, 0.14),
+    RepeatingDuplicateNGrams(7, 0.13),
+    RepeatingDuplicateNGrams(8, 0.12),
+    RepeatingDuplicateNGrams(9, 0.11),
+    RepeatingDuplicateNGrams(10, 0.10),
+    Bullets(0.9)
+  )
 }

@@ -137,6 +137,22 @@ docs = pq.read_table("/root/testdata/sf0.01/documents.parquet",
 run(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()),
     "src/test/resources/labels_ref_documents.parquet", "doc_id", pa.int64())
 
+# 3b helper: a cascade/name list for the NON-English pipeline
+# (heuristic_filter_non_english_pipeline.yaml — the English cascade minus
+# NonAlphaNumeric / CommonEnglishWords / WordsWithoutAlphabets)
+NON_EN_DROP = {"alpha_numeric", "common_english_words", "words_without_alphabets"}
+NON_EN = [(f, n) for f, n in zip(CASCADE, NAMES) if n not in NON_EN_DROP]
+
+def label_with(cascade_pairs, text):
+    for f, name in cascade_pairs:
+        try:
+            s = float(f.score_document(text))
+        except (ZeroDivisionError, ValueError):
+            return False, name
+        if not f.keep_document(s):
+            return False, name
+    return True, None
+
 # 3. content-keyed labels across BOTH shared-testdata scales: the oracle
 # joins on md5(text), so the cascade_en check holds no matter which sf
 # directory the driver points Verify at
@@ -157,3 +173,20 @@ table = pa.table({
 pq.write_table(table, "src/test/resources/labels_ref_by_md5.parquet")
 kept = sum(v[0] for v in seen.values())
 print(f"labels_ref_by_md5: {len(seen)} distinct texts, {kept} kept")
+
+# 4. same, for the non-English cascade
+seen_ne = {}
+for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+    docs = pq.read_table(f"/root/testdata/{sf}/documents.parquet", columns=["text"])
+    for text in docs.column("text").to_pylist():
+        key = hashlib.md5(text.encode("utf-8")).hexdigest()
+        if key not in seen_ne:
+            seen_ne[key] = label_with(NON_EN, text)
+table = pa.table({
+    "text_md5": pa.array(list(seen_ne.keys()), pa.string()),
+    "keep": pa.array([v[0] for v in seen_ne.values()], pa.bool_()),
+    "first_reject": pa.array([v[1] for v in seen_ne.values()], pa.string()),
+})
+pq.write_table(table, "src/test/resources/labels_ref_non_en_by_md5.parquet")
+kept = sum(v[0] for v in seen_ne.values())
+print(f"labels_ref_non_en_by_md5: {len(seen_ne)} distinct texts, {kept} kept")
