@@ -99,6 +99,40 @@ object FastTextFilters {
     else scored.drop("_q")
   }
 
+  /** FastTextLangId as a composable DocFilter driven by a real .bin
+    * artifact path (the reference's config form: model_path +
+    * min_langid_score, fasttext_filter.py:58-92). The model loads
+    * lazily ONCE PER EXECUTOR (transient lazy val; only the path
+    * serializes), so the filter drops into the fused cascade like any
+    * heuristic filter.
+    */
+  final case class FastTextLangIdBinFilter(modelPath: String, minScore: Double = 0.3)
+      extends graft.filters.DocFilter {
+    val name = "fasttext_langid"
+    @transient private lazy val model = FastTextBin.read(modelPath)
+    def scoreCtx(ctx: graft.filters.DocCtx): Double =
+      model.predict(ctx.text.trim.replace("\n", " "))._2
+    def keep(s: Double): Boolean = s >= minScore
+  }
+
+  /** FastTextQualityFilter contract driven by a .bin model (config form:
+    * model_path/label/alpha/seed).
+    */
+  def filterByQualityBin(df: DataFrame, model: FastTextBin.Model,
+                         hqLabel: String = "__label__hq", alpha: Double = 3.0,
+                         seed: Long = 42L, textCol: String = "text"): DataFrame = {
+    val u = udf((t: String) => {
+      if (t == null) false
+      else {
+        val cleaned = t.replace("\n", " ").replace("__label__", " ")
+        val (label, prob) = model.predict(cleaned)
+        val s = if (label.equalsIgnoreCase(hqLabel)) prob else 1.0 - prob
+        paretoSample(t, alpha, seed) > 1.0 - s
+      }
+    })
+    df.filter(u(col(textCol)))
+  }
+
   /** KenLM-style perplexity filter (north rule): score = word perplexity
     * under a broadcast n-gram LM, keep iff ≤ maxPerplexity — the same
     * DocumentFilter shape as the fastText quality filter.

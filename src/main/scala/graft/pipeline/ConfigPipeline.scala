@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.filters.{Cascade, CodeFilters, DocFilter, HeuristicFilters => HF}
+import graft.langid.{FastTextBin, FastTextFilters}
+
+/** Config-driven pipeline runner — the reference's PRIMARY entry point
+  * (Pipeline.run over a YAML/Hydra stage list, pipeline/pipeline.py:64-197)
+  * consuming the reference's OWN config files: `_target_` class paths
+  * name the stages, `${var}` interpolation resolves against top-level
+  * keys, `???` marks required overrides. A user of the reference can
+  * point this runner at e.g. heuristic_filter_english_pipeline.yaml
+  * unchanged.
+  *
+  * Planning difference (SURVEY §3.1): the reference decomposes stages
+  * into Ray actor pools with an object-store hop per stage; here every
+  * consecutive run of ScoreFilter stages FUSES into one Cascade pass
+  * (single UDF evaluation, early exit, first-reject attribution) and
+  * Catalyst fuses the rest — stage hops cost nothing.
+  */
+object ConfigPipeline {
+
+  sealed trait Stage
+  final case class Read(format: String, path: String) extends Stage
+  final case class Filters(filters: Vector[DocFilter]) extends Stage
+  final case class QualityFilter(modelPath: String, label: String,
+                                 alpha: Double, seed: Long) extends Stage
+  final case class Write(format: String, path: String) extends Stage
+
+  final case class Parsed(textField: String, stages: Vector[Stage])
+
+  /** Parse a reference pipeline YAML. `overrides` supplies values for
+    * `???` placeholders and may shadow any top-level key
+    * (e.g. "input_path" -> "/data/in").
+    */
+  def parse(yamlPath: String, overrides: Map[String, String] = Map.empty): Parsed = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = mapper.readValue(new java.io.File(yamlPath), classOf[java.util.Map[String, Object]])
+      .asScala
+
+    def scalar(v: Object): Option[String] = v match {
+      case null => None
+      case s: String => Some(s)
+      case n: Number => Some(n.toString)
+      case b: java.lang.Boolean => Some(b.toString)
+      case _ => None
+    }
+    val vars: Map[String, String] =
+      root.toMap.flatMap { case (k, v) => scalar(v).map(k -> _) } ++ overrides
+
+    def resolve(raw: String): String = {
+      val interpolated = "\\$\\{(\\w+)\\}".r.replaceAllIn(raw, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          vars.getOrElse(m.group(1),
+            throw new IllegalArgumentException(s"unresolved config var $${${m.group(1)}}"))))
+      require(interpolated != "???",
+        s"config value '$raw' is a required override (???) — pass it in `overrides`")
+      interpolated
+    }
+
+    val textField = vars.get("text_field").map(resolve).getOrElse("text")
+    val stageList = root.get("stages") match {
+      case Some(l: java.util.List[_]) => l.asScala.toVector.map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+      case _ => throw new IllegalArgumentException(s"$yamlPath has no `stages:` list")
+    }
+
+    def str(m: scala.collection.Map[String, Object], k: String): String =
+      resolve(scalar(m.getOrElse(k, throw new IllegalArgumentException(s"missing $k")))
+        .getOrElse(throw new IllegalArgumentException(s"$k is not a scalar")))
+    def dbl(m: scala.collection.Map[String, Object], k: String, dflt: Double): Double =
+      m.get(k).flatMap(scalar).map(resolve).map(_.toDouble).getOrElse(dflt)
+    def int(m: scala.collection.Map[String, Object], k: String, dflt: Int): Int =
+      m.get(k).flatMap(scalar).map(resolve).map(_.toInt).getOrElse(dflt)
+    def bool(m: scala.collection.Map[String, Object], k: String, dflt: Boolean): Boolean =
+      m.get(k).flatMap(scalar).map(resolve).map(_.toBoolean).getOrElse(dflt)
+
+    /** reference filter class -> DocFilter, parameter names verbatim. */
+    def docFilter(target: String, p: scala.collection.Map[String, Object]): Either[Stage, DocFilter] =
+      target.split('.').last match {
+        case "NonAlphaNumericFilter" => Right(HF.NonAlphaNumeric(dbl(p, "max_non_alpha_numeric_to_text_ratio", 0.25)))
+        case "SymbolsToWordsFilter" => Right(HF.SymbolsToWords(dbl(p, "max_symbol_to_word_ratio", 0.1)))
+        case "NumbersFilter" => Right(HF.Numbers(dbl(p, "max_number_to_text_ratio", 0.15)))
+        case "UrlsFilter" => Right(HF.Urls(dbl(p, "max_url_to_text_ratio", 0.2)))
+        case "WhiteSpaceFilter" => Right(HF.WhiteSpace(dbl(p, "max_white_space_ratio", 0.25)))
+        case "ParenthesesFilter" => Right(HF.Parentheses(dbl(p, "max_parentheses_ratio", 0.1)))
+        case "BoilerPlateStringFilter" => Right(HF.BoilerPlateString(dbl(p, "max_boilerplate_string_ratio", 0.4)))
+        case "RepeatedLinesFilter" => Right(HF.RepeatedLines(dbl(p, "max_repeated_line_fraction", 0.7)))
+        case "RepeatedParagraphsFilter" => Right(HF.RepeatedParagraphs(dbl(p, "max_repeated_paragraphs_ratio", 0.7)))
+        case "RepeatedLinesByCharFilter" => Right(HF.RepeatedLinesByChar(dbl(p, "max_repeated_lines_char_ratio", 0.8)))
+        case "RepeatedParagraphsByCharFilter" => Right(HF.RepeatedParagraphsByChar(dbl(p, "max_repeated_paragraphs_char_ratio", 0.8)))
+        case "WordCountFilter" => Right(HF.WordCount(int(p, "min_words", 50), int(p, "max_words", 100000)))
+        case "PunctuationFilter" => Right(HF.Punctuation(dbl(p, "max_num_sentences_without_endmark_ratio", 0.85)))
+        case "WordsWithoutAlphabetsFilter" => Right(HF.WordsWithoutAlphabets(dbl(p, "min_words_with_alphabets", 0.8)))
+        case "CommonEnglishWordsFilter" => Right(HF.CommonEnglishWords(int(p, "min_num_common_words", 2), bool(p, "stop_at_false", true)))
+        case "MeanWordLengthFilter" => Right(HF.MeanWordLength(dbl(p, "min_mean_word_length", 3), dbl(p, "max_mean_word_length", 10)))
+        case "LongWordFilter" => Right(HF.LongWord(int(p, "max_word_length", 1000)))
+        case "EllipsisFilter" => Right(HF.Ellipsis(dbl(p, "max_num_lines_ending_with_ellipsis_ratio", 0.3)))
+        case "RepeatingTopNGramsFilter" => Right(HF.RepeatingTopNGrams(int(p, "n", 2), dbl(p, "max_repeating_ngram_ratio", 0.2)))
+        case "RepeatingDuplicateNGramsFilter" => Right(HF.RepeatingDuplicateNGrams(int(p, "n", 5), dbl(p, "max_repeating_duplicate_ngram_ratio", 0.15)))
+        case "BulletsFilter" => Right(HF.Bullets(dbl(p, "max_bullet_lines_ratio", 0.9)))
+        case "PythonCommentToCodeFilter" => Right(CodeFilters.PythonCommentToCode(
+          dbl(p, "min_comment_to_code_ratio", 0.01), dbl(p, "max_comment_to_code_ratio", 0.85)))
+        case "NumberOfLinesOfCodeFilter" => Right(CodeFilters.NumberOfLines(int(p, "min_lines", 10), int(p, "max_lines", 20000)))
+        case "XMLHeaderFilter" => Right(CodeFilters.XmlHeader(int(p, "char_prefix_search_length", 100)))
+        case "AlphaFilter" => Right(CodeFilters.Alpha(dbl(p, "min_alpha_ratio", 0.25)))
+        case "TokenizerFertilityFilter" =>
+          // path_to_tokenizer names a SentencePiece model the sandbox
+          // cannot load; the BPE-ish tokenizer plugs the same slot
+          Right(CodeFilters.TokenizerFertility(minCharToTokenRatio = dbl(p, "min_char_to_token_ratio", 2.5)))
+        case "FastTextLangId" =>
+          Right(FastTextFilters.FastTextLangIdBinFilter(str(p, "model_path"), dbl(p, "min_langid_score", 0.3)))
+        case "FastTextQualityFilter" =>
+          Left(QualityFilter(str(p, "model_path"),
+            p.get("label").flatMap(scalar).map(resolve).getOrElse("__label__hq"),
+            dbl(p, "alpha", 3.0), int(p, "seed", 42).toLong))
+        case other => throw new IllegalArgumentException(s"unsupported filter _target_: $other")
+      }
+
+    val stages = stageList.flatMap { m =>
+      val target = scalar(m("_target_")).get
+      target.split('.').last match {
+        case "JsonlReader" | "JsonlReaderStage" => Some(Read("jsonl", str(m, "file_paths")))
+        case "ParquetReader" | "ParquetReaderStage" => Some(Read("parquet", str(m, "file_paths")))
+        case "JsonlWriter" => Some(Write("jsonl", str(m, "path")))
+        case "ParquetWriter" => Some(Write("parquet", str(m, "path")))
+        case "ScoreFilter" =>
+          val fo = m("filter_obj").asInstanceOf[java.util.Map[String, Object]].asScala
+          docFilter(scalar(fo("_target_")).get, fo) match {
+            case Right(f) => Some(Filters(Vector(f)))
+            case Left(s) => Some(s)
+          }
+        case other => throw new IllegalArgumentException(s"unsupported stage _target_: $other")
+      }
+    }
+
+    // fuse consecutive ScoreFilter stages into one cascade pass
+    val fused = stages.foldLeft(Vector.empty[Stage]) {
+      case (acc :+ Filters(a), Filters(b)) => acc :+ Filters(a ++ b)
+      case (acc, s) => acc :+ s
+    }
+    Parsed(textField, fused)
+  }
+
+  /** Execute a parsed pipeline. Returns the final DataFrame (post-write
+    * stages return the written frame). When the config has no reader
+    * (or `input` is given), `input` seeds the chain.
+    */
+  def run(spark: SparkSession, parsed: Parsed, input: Option[DataFrame] = None): DataFrame = {
+    var df: DataFrame = input.orNull
+    parsed.stages.foreach {
+      case Read(format, path) =>
+        if (df == null) df = format match {
+          case "jsonl" => spark.read.json(path)
+          case "parquet" => spark.read.parquet(path)
+        }
+      case Filters(fs) =>
+        require(df != null, "filter stage before any reader/input")
+        df = Cascade.score(df, fs.toArray, textCol = parsed.textField)
+          .filter(col("keep")).drop("keep", "first_reject")
+      case QualityFilter(modelPath, label, alpha, seed) =>
+        require(df != null, "filter stage before any reader/input")
+        val model = FastTextBin.read(modelPath)
+        df = FastTextFilters.filterByQualityBin(df, model, label, alpha, seed, parsed.textField)
+      case Write(format, path) =>
+        require(df != null, "writer stage before any reader/input")
+        format match {
+          case "jsonl" => df.write.mode("overwrite").json(path)
+          case "parquet" => df.write.mode("overwrite").parquet(path)
+        }
+    }
+    df
+  }
+}

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Drives ConfigPipeline with the REFERENCE'S OWN yaml config files
+  * (read-only from /root/reference) — the switch-without-rewriting
+  * claim, exercised literally.
+  */
+class ConfigPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val cfgDir = "/root/reference/nemo_curator/config/text"
+
+  test("english heuristic pipeline yaml parses to the exact 28-filter cascade") {
+    val parsed = ConfigPipeline.parse(s"$cfgDir/heuristic_filter_english_pipeline.yaml",
+      Map("input_path" -> "/tmp/unused", "output_path" -> "/tmp/unused_out"))
+    val filterStage = parsed.stages.collect { case f: ConfigPipeline.Filters => f }
+    assert(filterStage.size == 1, "consecutive ScoreFilters must fuse into one cascade")
+    val fs = filterStage.head.filters
+    val expected = graft.filters.HeuristicFilters.englishCascade
+    assert(fs.size == expected.length, s"${fs.size} filters parsed")
+    fs.zip(expected).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    assert(parsed.stages.head.isInstanceOf[ConfigPipeline.Read])
+    assert(parsed.stages.last.isInstanceOf[ConfigPipeline.Write])
+  }
+
+  test("non-english pipeline yaml parses to the exact 25-filter cascade") {
+    val parsed = ConfigPipeline.parse(s"$cfgDir/heuristic_filter_non_english_pipeline.yaml",
+      Map("input_path" -> "x", "output_path" -> "y"))
+    val fs = parsed.stages.collect { case f: ConfigPipeline.Filters => f }.head.filters
+    val expected = graft.filters.HeuristicFilters.nonEnglishCascade
+    assert(fs.size == expected.length)
+    fs.zip(expected).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("code filter pipeline yaml parses (incl. fertility tokenizer slot)") {
+    val parsed = ConfigPipeline.parse(s"$cfgDir/code_filter_pipeline.yaml",
+      Map("input_path" -> "x", "output_path" -> "y", "path_to_tokenizer" -> "unused.model"))
+    val fs = parsed.stages.collect { case f: ConfigPipeline.Filters => f }.head.filters
+    assert(fs.exists(_.name == "tokenizer_fertility"))
+    assert(fs.exists(_.name == "num_lines"))
+  }
+
+  test("missing required override (???) fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      ConfigPipeline.parse(s"$cfgDir/heuristic_filter_english_pipeline.yaml")
+    }
+    assert(ex.getMessage.contains("???") || ex.getMessage.contains("required override"),
+      ex.getMessage)
+  }
+
+  test("end-to-end run over jsonl equals the hand-built cascade") {
+    val tmp = java.nio.file.Files.createTempDirectory("cfgpipe").toString
+    // jsonl input with a keepable doc (the cc fixture carries both classes)
+    spark.read.parquet("src/test/resources/cc_pages_tiny").limit(400)
+      .select("url", "text").write.json(s"$tmp/in")
+    val parsed = ConfigPipeline.parse(s"$cfgDir/heuristic_filter_english_pipeline.yaml",
+      Map("input_path" -> s"$tmp/in", "output_path" -> s"$tmp/out"))
+    val out = ConfigPipeline.run(spark, parsed)
+    val written = spark.read.json(s"$tmp/out")
+    val expected = graft.filters.Cascade.score(
+        spark.read.json(s"$tmp/in"),
+        graft.filters.HeuristicFilters.englishCascade)
+      .filter(col("keep"))
+    assert(written.count() == expected.count())
+    assert(out.count() == expected.count())
+    assert(written.select("url").as[String].collect().toSet ==
+      expected.select("url").as[String].collect().toSet)
+  }
+
+  test("fasttext pipeline yaml runs off real .bin artifacts") {
+    import graft.langid.FastTextBin
+    import FastTextBin.{Args, Entry}
+    val tmp = java.nio.file.Files.createTempDirectory("cfgft").toString
+    // langid model: 'hello' -> __label__en strongly; an all-OOV doc gets
+    // a uniform softmax over FOUR labels (0.25 < the 0.3 cutoff)
+    val args = Args(2, 5, 5, 1, 5, 1, 3, 3, bucket = 0, minn = 0, maxn = 0, 100, 1e-4)
+    FastTextBin.write(s"$tmp/lid.bin", args,
+      Array(Entry("hello", 5, 0), Entry("</s>", 2, 0),
+        Entry("__label__en", 3, 1), Entry("__label__fr", 3, 1),
+        Entry("__label__de", 3, 1), Entry("__label__es", 3, 1)),
+      Array(Array(8f, 0f), Array(0f, 0f)),
+      Array(Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f), Array(0f, -1f)))
+    // quality model: everything scores __label__hq with high prob
+    FastTextBin.write(s"$tmp/q.bin", args,
+      Array(Entry("</s>", 2, 0), Entry("__label__hq", 3, 1), Entry("__label__lq", 3, 1)),
+      Array(Array(8f, 8f)),
+      Array(Array(1f, 1f), Array(-1f, -1f)))
+    Seq(("u1", "hello hello world"), ("u2", "bonjour tout le monde ici"))
+      .toDF("url", "text").write.json(s"$tmp/in")
+    val parsed = ConfigPipeline.parse(s"$cfgDir/fasttext_filter_pipeline.yaml",
+      Map("input_path" -> s"$tmp/in", "output_path" -> s"$tmp/out",
+        "fasttext_langid_model_path" -> s"$tmp/lid.bin",
+        "fasttext_quality_model_path" -> s"$tmp/q.bin"))
+    ConfigPipeline.run(spark, parsed)
+    val out = spark.read.json(s"$tmp/out").select("url").as[String].collect().toSet
+    assert(out.contains("u1"), s"high-confidence EN doc should survive, got $out")
+    assert(!out.contains("u2"), "low-langid-score doc should drop")
+  }
+}
