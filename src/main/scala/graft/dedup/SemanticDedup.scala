@@ -55,7 +55,10 @@ object SemanticDedup {
       .orderBy(xxhash64(col(vecCol)))
       .limit(fitCap)
       .select(toVec(col(vecCol)).as("_features")).cache()
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_features")
+    // k cannot exceed the sample size (ml.KMeans crashes otherwise);
+    // counting the bounded cached sample is cheap
+    val kEff = math.max(1, math.min(k.toLong, fitSample.count()).toInt)
+    val model = new KMeans().setK(kEff).setSeed(seed).setFeaturesCol("_features")
       .setPredictionCol("cluster").setMaxIter(20)
       .fit(fitSample)
     fitSample.unpersist()

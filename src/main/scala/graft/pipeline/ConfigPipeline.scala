@@ -144,6 +144,105 @@ object ConfigPipeline {
     Parsed(textField, fused)
   }
 
+  /** Run a WORKFLOW config (the reference's exact/fuzzy/semantic dedup
+    * yaml files use a `workflow:` key with one workflow object instead
+    * of a stage list — entry point B, SURVEY §3.2). Reads the input per
+    * `input_filetype`, runs the matching Spark workflow with the
+    * config's own parameters, writes to `output_path` and returns the
+    * written frame (removal ids when perform_removal is false, the
+    * deduplicated corpus when true — the reference's contract).
+    */
+  def runWorkflow(spark: SparkSession, yamlPath: String,
+                  overrides: Map[String, String] = Map.empty): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = mapper.readValue(new java.io.File(yamlPath), classOf[java.util.Map[String, Object]])
+      .asScala
+    def scalar(v: Object): Option[String] = v match {
+      case null => None
+      case s: String => Some(s)
+      case n: Number => Some(n.toString)
+      case b: java.lang.Boolean => Some(b.toString)
+      case _ => None
+    }
+    // hydra null values interpolate as the literal "null" (so e.g.
+    // `id_field: null` resolves and downstream treats it as absent)
+    val vars = root.toMap.map { case (k, v) => k -> scalar(v).getOrElse("null") }
+      .filter(_._2 != null) ++ overrides
+    def resolve(raw: String): String = {
+      val r = "\\$\\{(\\w+)\\}".r.replaceAllIn(raw, m =>
+        java.util.regex.Matcher.quoteReplacement(vars.getOrElse(m.group(1),
+          throw new IllegalArgumentException(s"unresolved $${${m.group(1)}}"))))
+      require(r != "???", s"required override missing for '$raw'")
+      r
+    }
+    val wf = root("workflow").asInstanceOf[java.util.List[_]].asScala.head
+      .asInstanceOf[java.util.Map[String, Object]].asScala
+    // overrides may shadow workflow params directly (e.g. n_clusters)
+    def opt(k: String): Option[String] =
+      overrides.get(k).orElse(wf.get(k).flatMap(scalar).map(resolve))
+    def str(k: String): String = opt(k).getOrElse(throw new IllegalArgumentException(s"missing $k"))
+    def dbl(k: String, d: Double): Double = opt(k).map(_.toDouble).getOrElse(d)
+    def int(k: String, d: Int): Int = opt(k).map(_.toInt).getOrElse(d)
+    def bool(k: String, d: Boolean): Boolean = opt(k).map(_.toBoolean).getOrElse(d)
+
+    val textField = opt("text_field").getOrElse("text")
+    val input = resolve(vars.getOrElse("input_filetype", "jsonl")) match {
+      case "parquet" => spark.read.parquet(str("input_path"))
+      case _ => spark.read.json(str("input_path"))
+    }
+    val idField = opt("id_field").filter(_ != "null")
+    // assign_id: monotone int64 row ids — the Spark analogue of the
+    // reference's IdGenerator actor (dedup workflows need integral ids)
+    val (withId, idCol) = idField match {
+      case Some(f) if input.columns.contains(f) => (input, f)
+      case _ => (input.withColumn("id", monotonically_increasing_id()), "id")
+    }
+
+    val target = scalar(wf("_target_")).get.split('.').last
+    val result: DataFrame = target match {
+      case "ExactDeduplicationWorkflow" =>
+        if (bool("perform_removal", d = false))
+          graft.dedup.ExactDedup.removeDuplicates(withId, idCol = idCol, textCol = textField)
+        else graft.dedup.ExactDedup.removalIds(withId, idCol = idCol, textCol = textField)
+      case "FuzzyDeduplicationWorkflow" =>
+        val p = graft.dedup.MinHashLSH.Params(
+          seed = int("seed", 42).toLong,
+          charNgrams = int("char_ngrams", 24),
+          numBands = int("num_bands", 20),
+          rowsPerBand = int("minhashes_per_band", 13))
+        if (bool("perform_removal", d = false))
+          graft.dedup.MinHashLSH.removeDuplicates(withId, p, idCol = idCol, textCol = textField)
+        else graft.dedup.MinHashLSH.removalIds(withId, p, idCol = idCol, textCol = textField)
+      case "TextSemanticDeduplicationWorkflow" =>
+        // model_identifier names a GPU sentence-transformer; the
+        // deterministic hash embedder stands in the same slot offline
+        val emb = graft.sim.HashEmbedder.withEmbedding(withId, textField)
+        // ranking_strategy ascending=True over cosine_dist_to_cent is
+        // which_to_keep="easy"; the default "hard" is descending
+        val ascending = Option(wf.getOrElse("ranking_strategy", null)) match {
+          case Some(rs: java.util.Map[_, _]) =>
+            scalar(rs.asInstanceOf[java.util.Map[String, Object]]
+              .getOrDefault("ascending", "false")).exists(_.toBoolean)
+          case _ => false
+        }
+        val removal = graft.dedup.SemanticDedup.removalIdsRanked(
+          emb, k = int("n_clusters", 100), eps = dbl("eps", 0.01),
+          whichToKeep = if (ascending) "easy" else "hard",
+          idCol = idCol, vecCol = "embedding")
+        if (bool("perform_removal", d = false))
+          withId.join(removal, Seq(idCol), "left_anti")
+        else removal
+      case other => throw new IllegalArgumentException(s"unsupported workflow _target_: $other")
+    }
+    val outPath = str("output_path")
+    resolve(vars.getOrElse("output_filetype", "jsonl")) match {
+      case "parquet" => result.write.mode("overwrite").parquet(outPath)
+      case _ => result.write.mode("overwrite").json(outPath)
+    }
+    result
+  }
+
   /** Execute a parsed pipeline. Returns the final DataFrame (post-write
     * stages return the written frame). When the config has no reader
     * (or `input` is given), `input` seeds the chain.

@@ -71,6 +71,46 @@ class ConfigPipelineSpec extends AnyFunSuite {
       expected.select("url").as[String].collect().toSet)
   }
 
+  test("exact + fuzzy dedup workflow yamls run end to end") {
+    val tmp = java.nio.file.Files.createTempDirectory("cfgwf").toString
+    // 3 distinct texts, one exact duplicate pair
+    Seq("the quick brown fox jumps over the lazy dog and keeps going",
+        "the quick brown fox jumps over the lazy dog and keeps going",
+        "an entirely different document about something else entirely here",
+        "a third unique document with its own words and nothing shared")
+      .zipWithIndex.map { case (t, i) => (s"u$i", t) }
+      .toDF("url", "text").write.json(s"$tmp/in")
+    val ids = ConfigPipeline.runWorkflow(spark,
+      s"$cfgDir/exact_deduplication_pipeline.yaml",
+      Map("input_path" -> s"$tmp/in", "output_path" -> s"$tmp/out_exact"))
+    assert(ids.count() == 1, "one removal id for the duplicate pair")
+    val kept = ConfigPipeline.runWorkflow(spark,
+      s"$cfgDir/fuzzy_deduplication_pipeline.yaml",
+      Map("input_path" -> s"$tmp/in", "output_path" -> s"$tmp/out_fuzzy",
+        "cache_path" -> s"$tmp/cache"))
+    // perform_removal: False in the config -> removal ids (the exact
+    // dup pair is also a fuzzy dup)
+    assert(kept.count() == 1, s"got ${kept.count()}")
+    assert(spark.read.json(s"$tmp/out_fuzzy").count() == 1)
+  }
+
+  test("semantic dedup workflow yaml runs with the hash-embedder slot") {
+    val tmp = java.nio.file.Files.createTempDirectory("cfgsem").toString
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps going today",
+      "the quick brown fox jumps over the lazy dog and keeps going tonight",
+      "an entirely different document about boats and rivers and mountains")
+    texts.zipWithIndex.map { case (t, i) => (s"id$i", t) }
+      .toDF("id", "text").write.json(s"$tmp/in")
+    val out = ConfigPipeline.runWorkflow(spark,
+      s"$cfgDir/semantic_deduplication_pipeline.yaml",
+      Map("input_path" -> s"$tmp/in", "output_path" -> s"$tmp/out",
+        "cache_path" -> s"$tmp/cache", "n_clusters" -> "2", "eps" -> "0.12"))
+    // perform_removal: True in the config -> deduplicated corpus; the
+    // two near-identical docs collapse to one
+    assert(out.count() == 2, s"got ${out.count()}")
+  }
+
   test("fasttext pipeline yaml runs off real .bin artifacts") {
     import graft.langid.FastTextBin
     import FastTextBin.{Args, Entry}
