@@ -100,6 +100,20 @@ object SparkEntry {
              ELSE text END"""
   private val sliceIn =
     "CASE WHEN doc_id % 2 = 0 THEN 'head [S] ' || text || ' [E] tail' ELSE text END"
+  /** Cascade-entry input construction, replicated verbatim in the
+    * DuckDB oracle and tools/gen_reference_labels.py (labels are keyed
+    * by md5 of THIS string): case 0 keepable enriched prose, case 1
+    * '%' spam (EN drops at alpha_numeric, non-EN at white_space),
+    * case 2 de-the'd 'zz' interleave (EN common_english vs non-EN
+    * mean_word_length), case 3 raw text.
+    */
+  private val cascadeIn =
+    """CASE CAST(doc_id % 4 AS INT)
+         WHEN 0 THEN text || ' and that is how the story of the day came to a close with all of it said and done for sure by the people we know and trust in this town.'
+         WHEN 1 THEN replace(text, ' ', ' the ') || '. ' || repeat('% ', 60)
+         WHEN 2 THEN replace(replace(text, 'the', 'thx'), ' ', ' zz ') || '.'
+         ELSE text END"""
+
   private def lineRemIn(ch: String => String) =
     s"replace(text, ' the ', ${ch("10")} || 'REMOVE' || ${ch("10")})"
 
@@ -149,15 +163,23 @@ object SparkEntry {
 
     "q3_topk" -> ((s, dir) => {
       // orderBy+limit compiles to TakeOrderedAndProject (per-partition
-      // partial top-k, no global sort, no single-partition WindowExec);
-      // rn is then derived on the 10-row result — the constant partition
-      // key keeps the WindowExec off the unpartitioned-window path
+      // partial top-k, no global sort). rn is derived on the 10-row
+      // result via a broadcast self-rank: counting preceding rows in
+      // the total order avoids WindowExec entirely (a constant
+      // partitionBy key gets constant-folded and the window degrades
+      // to the unpartitioned single-partition form — PlanShapeSpec
+      // guards this)
       val top = tbl(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
-      val w = Window.partitionBy(lit(1))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      top.withColumn("rn", row_number().over(w))
+        .select("o_orderkey", "o_totalprice")
+      val other = broadcast(top.select(
+        col("o_orderkey").as("_k"), col("o_totalprice").as("_p")))
+      top.join(other,
+          col("_p") > col("o_totalprice") ||
+            (col("_p") === col("o_totalprice") && col("_k") <= col("o_orderkey")))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(count(lit(1)).cast("int").as("rn"))
         .select("o_orderkey", "o_totalprice", "rn")
     }),
 
@@ -229,17 +251,20 @@ object SparkEntry {
     "cf_xml_header" -> hfQuery(graft.filters.CodeFilters.XmlHeader(),
       "CASE WHEN doc_id % 5 = 0 THEN '<?xml version=\"1.0\"?>' || text ELSE text END"),
 
-    // full cascade — oracle = labels parquet generated by running the
-    // REFERENCE'S OWN filter code over this table (gen_reference_labels.py)
+    // full cascade over the constructed input (keeps + divergent
+    // rejects exercised) — oracle = labels parquet generated by running
+    // the REFERENCE'S OWN filter code over the same constructed texts
     "cascade_en" -> ((s, dir) => {
-      graft.filters.Cascade.score(tbl(s, dir, "documents"))
+      graft.filters.Cascade.score(
+          tbl(s, dir, "documents").withColumn("text", expr(cascadeIn)))
         .select("doc_id", "keep", "first_reject")
     }),
 
     // the 25-stage NON-English cascade (the reference's second shipped
     // pipeline config) — oracle = reference-generated labels, md5-keyed
     "cascade_non_en" -> ((s, dir) => {
-      graft.filters.Cascade.score(tbl(s, dir, "documents"),
+      graft.filters.Cascade.score(
+          tbl(s, dir, "documents").withColumn("text", expr(cascadeIn)),
           filters = graft.filters.HeuristicFilters.nonEnglishCascade)
         .select("doc_id", "keep", "first_reject")
     }),
@@ -841,21 +866,21 @@ object SparkEntry {
 
       "cascade_en" ->
         // oracle table = labels generated by RUNNING THE REFERENCE'S OWN
-        // heuristic_filter.py over every distinct documents text across
-        // the shared testdata scales, keyed by md5(text)
+        // heuristic_filter.py over the same constructed texts across the
+        // shared testdata scales, keyed by md5(constructed)
         // (tools/gen_reference_labels.py; committed parquet) — keep AND
         // first-reject attribution must match the reference bit-exactly
         // at whichever sf dir the driver verifies
-        """SELECT d.doc_id, l.keep, l.first_reject
-           FROM documents d
+        s"""SELECT d.doc_id, l.keep, l.first_reject
+           FROM (SELECT doc_id, $cascadeIn AS t FROM documents) d
            JOIN '/root/repo/src/test/resources/labels_ref_by_md5.parquet' l
-             ON md5(d.text) = l.text_md5""",
+             ON md5(d.t) = l.text_md5""",
 
       "cascade_non_en" ->
-        """SELECT d.doc_id, l.keep, l.first_reject
-           FROM documents d
+        s"""SELECT d.doc_id, l.keep, l.first_reject
+           FROM (SELECT doc_id, $cascadeIn AS t FROM documents) d
            JOIN '/root/repo/src/test/resources/labels_ref_non_en_by_md5.parquet' l
-             ON md5(d.text) = l.text_md5""",
+             ON md5(d.t) = l.text_md5""",
 
       "cf_alpha" -> hfRatioOracle(
         "CAST(length(regexp_replace(t, '[^[:alpha:]]', '', 'g')) AS DOUBLE) / length(t)",

@@ -161,8 +161,15 @@ object MinHashLSH {
     */
   def verifiedPairs(df: DataFrame, p: Params = Params(), ngram: Int = 3,
                     minJaccard: Double = 0.8,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val edges = candidateEdges(df, p, idCol, textCol)
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    verifyEdges(candidateEdges(df, p, idCol, textCol), df, ngram, minJaccard, idCol, textCol)
+
+  /** Shared verify step for any sketch's candidate edges (MinHash bands,
+    * SimHash bands, …): join texts back ONLY for the candidates and keep
+    * pairs whose exact token-n-gram Jaccard clears the threshold.
+    */
+  def verifyEdges(edges: DataFrame, df: DataFrame, ngram: Int, minJaccard: Double,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val jacc = udf((t1: String, t2: String) => ngramJaccard(t1, t2, ngram))
     val left = df.select(col(idCol).as("src"), col(textCol).as("_t1"))
     val right = df.select(col(idCol).as("dst"), col(textCol).as("_t2"))

@@ -8,10 +8,12 @@ import graft.text.PyText
   * "Detecting Near-Duplicates for Web Crawling").
   *
   * 64-bit simhash over word unigrams + bigrams; near-dup candidates found
-  * by banding the fingerprint into 4×16-bit keys (any doc pair within
-  * Hamming distance 3 shares at least one band — the Manku pigeonhole
-  * trick), then verifying exact Hamming distance on the candidates.
-  * Complements MinHash: one long per doc instead of 260.
+  * by banding the fingerprint into maxHamming+1 keys (the Manku
+  * pigeonhole trick: a pair within Hamming distance h differs in at most
+  * h bands, so with h+1 bands at least one band matches — candidate
+  * recall is GUARANTEED, not probabilistic), then verifying exact
+  * Hamming distance on the candidates. Complements MinHash: one long
+  * per doc instead of 260.
   */
 object SimHash {
 
@@ -48,6 +50,26 @@ object SimHash {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Pigeonhole banding: maxHamming+1 bands covering all 64 bits (wider
+    * bands first when 64 doesn't divide evenly) — guarantees any pair
+    * with Hamming distance <= maxHamming collides in >= 1 band.
+    */
+  private def bandStructs(maxHamming: Int): org.apache.spark.sql.Column = {
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val extra = 64 % bands
+    var offset = 0
+    val structs = (0 until bands).map { i =>
+      val width = base + (if (i < extra) 1 else 0)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      val st = struct(lit(i).as("band"),
+        shiftright(col("simhash"), offset).bitwiseAND(lit(mask)).as("key"))
+      offset += width
+      st
+    }
+    explode(array(structs: _*))
+  }
+
   /** df(id, text) -> (id, simhash). */
   def fingerprints(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val u = udf((t: String) => if (t == null) 0L else simhash64(t))
@@ -63,9 +85,7 @@ object SimHash {
     // a lazy cache() would stay pinned with no unpersist point
     val fp = fingerprints(df, idCol, textCol).localCheckpoint(true)
     val banded = fp.select(
-      col(idCol).as("id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("band"), shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      col(idCol).as("id"), col("simhash"), bandStructs(maxHamming).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
     val ham = udf((a: Long, b: Long) => hamming(a, b))
     banded.as("l").join(banded.as("r"),
@@ -93,16 +113,10 @@ object SimHash {
     */
   def verifiedNearDupPairs(df: DataFrame, maxHamming: Int = 4, minJaccard: Double = 0.5,
                            ngram: Int = 3, idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
-    val edges = nearDupPairs(df, maxHamming, idCol, textCol).select(col("src"), col("dst"))
-    val jacc = udf((t1: String, t2: String) => MinHashLSH.ngramJaccard(t1, t2, ngram))
-    val left = df.select(col(idCol).as("src"), col(textCol).as("_t1"))
-    val right = df.select(col(idCol).as("dst"), col(textCol).as("_t2"))
-    edges.join(left, "src").join(right, "dst")
-      .withColumn("jaccard", jacc(col("_t1"), col("_t2")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("src"), col("dst"), col("jaccard"))
-  }
+                           textCol: String = "text"): DataFrame =
+    MinHashLSH.verifyEdges(
+      nearDupPairs(df, maxHamming, idCol, textCol).select(col("src"), col("dst")),
+      df, ngram, minJaccard, idCol, textCol)
 
   def removalIds(df: DataFrame, maxHamming: Int = 3,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -121,9 +135,7 @@ object SimHash {
 
     // banded Hamming candidates between DISTINCT fingerprints
     val banded = reps.select(
-      col("id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("band"), shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      col("id"), col("simhash"), bandStructs(maxHamming).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
     val ham = udf((a: Long, b: Long) => hamming(a, b))
     val crossEdges = banded.as("l").join(banded.as("r"),

@@ -101,18 +101,27 @@ object FastTextFilters {
 
   /** FastTextLangId as a composable DocFilter driven by a real .bin
     * artifact path (the reference's config form: model_path +
-    * min_langid_score, fasttext_filter.py:58-92). The model loads
-    * lazily ONCE PER EXECUTOR (transient lazy val; only the path
-    * serializes), so the filter drops into the fused cascade like any
-    * heuristic filter.
+    * min_langid_score, fasttext_filter.py:58-92). Only the path
+    * serializes; the model loads once per JVM via the companion cache,
+    * so the filter drops into the fused cascade like any heuristic
+    * filter.
     */
   final case class FastTextLangIdBinFilter(modelPath: String, minScore: Double = 0.3)
       extends graft.filters.DocFilter {
     val name = "fasttext_langid"
-    @transient private lazy val model = FastTextBin.read(modelPath)
+    // JVM-wide cache keyed by path: a transient lazy val would re-read
+    // the model on EVERY task deserialization (the filter rides a UDF
+    // closure); the companion cache loads once per executor
+    private def model = FastTextLangIdBinFilter.load(modelPath)
     def scoreCtx(ctx: graft.filters.DocCtx): Double =
       model.predict(ctx.text.trim.replace("\n", " "))._2
     def keep(s: Double): Boolean = s >= minScore
+  }
+
+  object FastTextLangIdBinFilter {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, FastTextBin.Model]()
+    private def load(path: String): FastTextBin.Model =
+      cache.computeIfAbsent(path, p => FastTextBin.read(p))
   }
 
   /** FastTextQualityFilter contract driven by a .bin model (config form:

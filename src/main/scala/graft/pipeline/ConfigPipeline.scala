@@ -31,16 +31,12 @@ object ConfigPipeline {
 
   final case class Parsed(textField: String, stages: Vector[Stage])
 
-  /** Parse a reference pipeline YAML. `overrides` supplies values for
-    * `???` placeholders and may shadow any top-level key
-    * (e.g. "input_path" -> "/data/in").
+  /** Shared YAML plumbing for both entry forms: load the root map,
+    * build the interpolation vars (hydra nulls become the literal
+    * "null"; overrides shadow), and the ${var}/??? resolver.
     */
-  def parse(yamlPath: String, overrides: Map[String, String] = Map.empty): Parsed = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
-      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
-    val root = mapper.readValue(new java.io.File(yamlPath), classOf[java.util.Map[String, Object]])
-      .asScala
-
+  private final case class Cfg(root: scala.collection.mutable.Map[String, Object],
+                               vars: Map[String, String]) {
     def scalar(v: Object): Option[String] = v match {
       case null => None
       case s: String => Some(s)
@@ -48,9 +44,6 @@ object ConfigPipeline {
       case b: java.lang.Boolean => Some(b.toString)
       case _ => None
     }
-    val vars: Map[String, String] =
-      root.toMap.flatMap { case (k, v) => scalar(v).map(k -> _) } ++ overrides
-
     def resolve(raw: String): String = {
       val interpolated = "\\$\\{(\\w+)\\}".r.replaceAllIn(raw, m =>
         java.util.regex.Matcher.quoteReplacement(
@@ -60,6 +53,26 @@ object ConfigPipeline {
         s"config value '$raw' is a required override (???) — pass it in `overrides`")
       interpolated
     }
+  }
+
+  private def load(yamlPath: String, overrides: Map[String, String]): Cfg = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = mapper.readValue(new java.io.File(yamlPath), classOf[java.util.Map[String, Object]])
+      .asScala
+    val cfg = Cfg(root, Map.empty)
+    val vars = root.toMap.map { case (k, v) => k -> cfg.scalar(v).getOrElse("null") } ++ overrides
+    Cfg(root, vars)
+  }
+
+  /** Parse a reference pipeline YAML. `overrides` supplies values for
+    * `???` placeholders and may shadow any top-level key
+    * (e.g. "input_path" -> "/data/in").
+    */
+  def parse(yamlPath: String, overrides: Map[String, String] = Map.empty): Parsed = {
+    val cfg = load(yamlPath, overrides)
+    import cfg.{resolve, scalar, vars}
+    val root = cfg.root
 
     val textField = vars.get("text_field").map(resolve).getOrElse("text")
     val stageList = root.get("stages") match {
@@ -154,28 +167,9 @@ object ConfigPipeline {
     */
   def runWorkflow(spark: SparkSession, yamlPath: String,
                   overrides: Map[String, String] = Map.empty): DataFrame = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
-      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
-    val root = mapper.readValue(new java.io.File(yamlPath), classOf[java.util.Map[String, Object]])
-      .asScala
-    def scalar(v: Object): Option[String] = v match {
-      case null => None
-      case s: String => Some(s)
-      case n: Number => Some(n.toString)
-      case b: java.lang.Boolean => Some(b.toString)
-      case _ => None
-    }
-    // hydra null values interpolate as the literal "null" (so e.g.
-    // `id_field: null` resolves and downstream treats it as absent)
-    val vars = root.toMap.map { case (k, v) => k -> scalar(v).getOrElse("null") }
-      .filter(_._2 != null) ++ overrides
-    def resolve(raw: String): String = {
-      val r = "\\$\\{(\\w+)\\}".r.replaceAllIn(raw, m =>
-        java.util.regex.Matcher.quoteReplacement(vars.getOrElse(m.group(1),
-          throw new IllegalArgumentException(s"unresolved $${${m.group(1)}}"))))
-      require(r != "???", s"required override missing for '$raw'")
-      r
-    }
+    val cfg = load(yamlPath, overrides)
+    import cfg.{resolve, scalar, vars}
+    val root = cfg.root
     val wf = root("workflow").asInstanceOf[java.util.List[_]].asScala.head
       .asInstanceOf[java.util.Map[String, Object]].asScala
     // overrides may shadow workflow params directly (e.g. n_clusters)
@@ -193,18 +187,24 @@ object ConfigPipeline {
     }
     val idField = opt("id_field").filter(_ != "null")
     // assign_id: monotone int64 row ids — the Spark analogue of the
-    // reference's IdGenerator actor (dedup workflows need integral ids)
-    val (withId, idCol) = idField match {
-      case Some(f) if input.columns.contains(f) => (input, f)
-      case _ => (input.withColumn("id", monotonically_increasing_id()), "id")
+    // reference's IdGenerator actor (dedup workflows need integral ids).
+    // syntheticIds tracks that the user has no way to join bare ids back
+    // (the reference persists IdGenerator state for that); ids-only
+    // output then switches to FULL duplicate rows so it stays actionable
+    val (withId, idCol, syntheticIds) = idField match {
+      case Some(f) if input.columns.contains(f) => (input, f, false)
+      case _ => (input.withColumn("id", monotonically_increasing_id()), "id", true)
     }
+    def removalOutput(removalIds: DataFrame): DataFrame =
+      if (syntheticIds) withId.join(removalIds, Seq(idCol), "left_semi").drop(idCol)
+      else removalIds
 
     val target = scalar(wf("_target_")).get.split('.').last
     val result: DataFrame = target match {
       case "ExactDeduplicationWorkflow" =>
         if (bool("perform_removal", d = false))
           graft.dedup.ExactDedup.removeDuplicates(withId, idCol = idCol, textCol = textField)
-        else graft.dedup.ExactDedup.removalIds(withId, idCol = idCol, textCol = textField)
+        else removalOutput(graft.dedup.ExactDedup.removalIds(withId, idCol = idCol, textCol = textField))
       case "FuzzyDeduplicationWorkflow" =>
         val p = graft.dedup.MinHashLSH.Params(
           seed = int("seed", 42).toLong,
@@ -213,7 +213,7 @@ object ConfigPipeline {
           rowsPerBand = int("minhashes_per_band", 13))
         if (bool("perform_removal", d = false))
           graft.dedup.MinHashLSH.removeDuplicates(withId, p, idCol = idCol, textCol = textField)
-        else graft.dedup.MinHashLSH.removalIds(withId, p, idCol = idCol, textCol = textField)
+        else removalOutput(graft.dedup.MinHashLSH.removalIds(withId, p, idCol = idCol, textCol = textField))
       case "TextSemanticDeduplicationWorkflow" =>
         // model_identifier names a GPU sentence-transformer; the
         // deterministic hash embedder stands in the same slot offline
@@ -232,7 +232,7 @@ object ConfigPipeline {
           idCol = idCol, vecCol = "embedding")
         if (bool("perform_removal", d = false))
           withId.join(removal, Seq(idCol), "left_anti")
-        else removal
+        else removalOutput(removal)
       case other => throw new IllegalArgumentException(s"unsupported workflow _target_: $other")
     }
     val outPath = str("output_path")

@@ -27,7 +27,7 @@ object HashEmbedder {
       var i = 0
       val limit = t.length - n
       while (i <= limit) {
-        // FNV-1a over the window; low bits pick the bucket, bit 63 the sign
+        // FNV-1a over the window; bits 63..1 pick the bucket, bit 0 the sign
         var h = 0xcbf29ce484222325L
         var j = i
         while (j < i + n) { h ^= t.charAt(j); h *= 0x100000001b3L; j += 1 }

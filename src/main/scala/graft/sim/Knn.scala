@@ -141,10 +141,12 @@ object Knn {
     // top-N — no full sort, no bias toward the scan's first files);
     // ASSIGNMENT is the one full pass (same discipline as SemanticDedup)
     val fitSample = corpus.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol))).limit(100000)
+      .orderBy(xxhash64(col(vecCol))).limit(graft.dedup.SemanticDedup.FitSampleCap)
       .select(toVec(col(vecCol)).as("_f")).cache()
+    // cells cannot exceed the sample size (ml.KMeans crashes otherwise)
+    val cellsEff = math.max(1, math.min(cells.toLong, fitSample.count()).toInt)
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(seed).setFeaturesCol("_f").setPredictionCol("cell")
+      .setK(cellsEff).setSeed(seed).setFeaturesCol("_f").setPredictionCol("cell")
       .setMaxIter(10).fit(fitSample)
     fitSample.unpersist()
     val feat = corpus.withColumn("_f", toVec(col(vecCol)))

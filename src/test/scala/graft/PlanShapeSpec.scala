@@ -92,9 +92,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val q = SparkEntry.queries("q3_topk")(spark, "/root/testdata/sf0.001")
     val plan = planString(q)
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    // the rn window must be partitioned (constant key) — an empty
-    // partition spec would be the single-partition scale-killer
-    assert(!plan.matches("(?s).*Window.*\\[\\]\\s*$.*"), plan)
+    // no WindowExec at all: a constant partitionBy key constant-folds
+    // into the EMPTY partition spec (the single-partition scale-killer),
+    // so rn must come from the broadcast self-rank instead
+    val windows = unwrap(q).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, plan)
   }
 
   test("filter pushdown and column pruning reach the parquet scan") {

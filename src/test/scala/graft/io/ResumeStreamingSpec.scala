@@ -56,8 +56,11 @@ class ResumeStreamingSpec extends AnyFunSuite {
   test("streaming exact dedup drops content duplicates within the watermark") {
     val tmp = Files.createTempDirectory("sdedup").toString
     // cc_pages_tiny carries a planted exact-duplicate group (rows 8,48,88,...)
-    val pages = spark.read.parquet("src/test/resources/cc_pages_tiny").limit(300)
-    pages.write.parquet(s"$tmp/in")
+    spark.read.parquet("src/test/resources/cc_pages_tiny").limit(300)
+      .write.parquet(s"$tmp/in")
+    // expectations read the MATERIALIZED input (re-evaluating an
+    // unordered limit() could pick a different 300 rows)
+    val pages = spark.read.parquet(s"$tmp/in")
     val stream = spark.readStream.schema(pages.schema).parquet(s"$tmp/in")
     val deduped = StreamingCuration.dedupExactStream(stream)
     val q = deduped.writeStream.format("parquet")

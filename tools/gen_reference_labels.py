@@ -153,40 +153,57 @@ def label_with(cascade_pairs, text):
             return False, name
     return True, None
 
-# 3. content-keyed labels across BOTH shared-testdata scales: the oracle
-# joins on md5(text), so the cascade_en check holds no matter which sf
-# directory the driver points Verify at
+# 3. content-keyed labels across the shared-testdata scales for BOTH
+# shipped cascades, over a CONSTRUCTED input that exercises keeps and
+# the filters where the two cascades genuinely diverge (EN-only
+# alpha_numeric / common_english rejects vs non-EN white_space /
+# mean_word_length): case 0 = stopword-enriched keepable prose,
+# case 1 = '%' spam (EN drops at alpha_numeric, non-EN at white_space),
+# case 2 = de-the'd 'zz' interleave (EN common_english vs non-EN
+# mean_word_length), case 3 = raw text. The construction is replicated
+# verbatim in SparkEntry (Spark SQL) and the oracle SQL (DuckDB); the
+# oracle joins on md5(constructed) so it holds at any sf scale.
 import hashlib
-seen = {}
-for sf in ["sf0.001", "sf0.01", "sf0.1"]:
-    docs = pq.read_table(f"/root/testdata/{sf}/documents.parquet", columns=["text"])
-    for text in docs.column("text").to_pylist():
-        key = hashlib.md5(text.encode("utf-8")).hexdigest()
-        if key not in seen:
-            k, r, _ = label(text)
-            seen[key] = (k, r)
-table = pa.table({
-    "text_md5": pa.array(list(seen.keys()), pa.string()),
-    "keep": pa.array([v[0] for v in seen.values()], pa.bool_()),
-    "first_reject": pa.array([v[1] for v in seen.values()], pa.string()),
-})
-pq.write_table(table, "src/test/resources/labels_ref_by_md5.parquet")
-kept = sum(v[0] for v in seen.values())
-print(f"labels_ref_by_md5: {len(seen)} distinct texts, {kept} kept")
 
-# 4. same, for the non-English cascade
-seen_ne = {}
-for sf in ["sf0.001", "sf0.01", "sf0.1"]:
-    docs = pq.read_table(f"/root/testdata/{sf}/documents.parquet", columns=["text"])
-    for text in docs.column("text").to_pylist():
-        key = hashlib.md5(text.encode("utf-8")).hexdigest()
-        if key not in seen_ne:
-            seen_ne[key] = label_with(NON_EN, text)
-table = pa.table({
-    "text_md5": pa.array(list(seen_ne.keys()), pa.string()),
-    "keep": pa.array([v[0] for v in seen_ne.values()], pa.bool_()),
-    "first_reject": pa.array([v[1] for v in seen_ne.values()], pa.string()),
-})
-pq.write_table(table, "src/test/resources/labels_ref_non_en_by_md5.parquet")
-kept = sum(v[0] for v in seen_ne.values())
-print(f"labels_ref_non_en_by_md5: {len(seen_ne)} distinct texts, {kept} kept")
+SUFFIX = (' and that is how the story of the day came to a close with all of'
+          ' it said and done for sure by the people we know and trust in this town.')
+
+def construct(doc_id, text):
+    m = doc_id % 4
+    if m == 0: return text + SUFFIX
+    if m == 1: return text.replace(' ', ' the ') + '. ' + ('% ' * 60)
+    if m == 2: return text.replace('the', 'thx').replace(' ', ' zz ') + '.'
+    return text
+
+NON_EN_DROP = {"alpha_numeric", "common_english_words", "words_without_alphabets"}
+NON_EN = [(f, n) for f, n in zip(CASCADE, NAMES) if n not in NON_EN_DROP]
+EN = list(zip(CASCADE, NAMES))
+
+def label_with(cascade_pairs, text):
+    for f, name in cascade_pairs:
+        try:
+            s = float(f.score_document(text))
+        except (ZeroDivisionError, ValueError):
+            return False, name
+        if not f.keep_document(s):
+            return False, name
+    return True, None
+
+for cascade, out in [(EN, "src/test/resources/labels_ref_by_md5.parquet"),
+                     (NON_EN, "src/test/resources/labels_ref_non_en_by_md5.parquet")]:
+    seen = {}
+    for sf in ["sf0.001", "sf0.01", "sf0.1"]:
+        docs = pq.read_table(f"/root/testdata/{sf}/documents.parquet", columns=["doc_id", "text"])
+        for i, text in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+            c = construct(i, text)
+            key = hashlib.md5(c.encode("utf-8")).hexdigest()
+            if key not in seen:
+                seen[key] = label_with(cascade, c)
+    table = pa.table({
+        "text_md5": pa.array(list(seen.keys()), pa.string()),
+        "keep": pa.array([v[0] for v in seen.values()], pa.bool_()),
+        "first_reject": pa.array([v[1] for v in seen.values()], pa.string()),
+    })
+    pq.write_table(table, out)
+    kept = sum(v[0] for v in seen.values())
+    print(f"{out}: {len(seen)} distinct constructed texts, {kept} kept")
