@@ -3,7 +3,7 @@ package graft.io
 import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Megatron-LM indexed-dataset writer — the training-stack export path
