@@ -134,6 +134,34 @@ class ModelsSpec extends AnyFunSuite {
     f.delete()
   }
 
+  test("ArpaLM: loads the KenLM export format and scores with Katz backoff") {
+    import graft.lm.ArpaLM
+    val f = java.io.File.createTempFile("arpa_lm", ".arpa").getPath
+    // hand-built bigram model over {the, cat, sat}
+    ArpaLM.write(f, Seq(
+      (Seq("<s>"), -99.0, Some(-0.30103)),       // bos: backoff 10^-0.30103 = 0.5
+      (Seq("</s>"), -0.60206, None),              // 0.25
+      (Seq("<unk>"), -2.0, None),
+      (Seq("the"), -0.60206, Some(-0.30103)),     // 0.25, backoff 0.5
+      (Seq("cat"), -0.60206, Some(0.0)),
+      (Seq("sat"), -0.60206, Some(0.0)),
+      (Seq("<s>", "the"), -0.30103, None),        // p(the|<s>) = 0.5
+      (Seq("the", "cat"), -0.30103, None)))       // p(cat|the) = 0.5
+    val lm = ArpaLM.load(f)
+    assert(lm.order == 2)
+    // exact: p(the|<s>)=0.5 direct; p(cat|the)=0.5 direct;
+    // p(sat|cat): no bigram -> backoff(cat)=10^0=1 * p(sat)=0.25;
+    // p(</s>|sat): backoff(sat)=1 * 0.25
+    val expected = math.pow(10.0,
+      -(math.log10(0.5) + math.log10(0.5) + math.log10(0.25) + math.log10(0.25)) / 4)
+    val got = lm.perplexity("the cat sat")
+    assert(math.abs(got - expected) < 1e-6, s"got $got expected $expected")
+    // OOV words hit <unk>
+    assert(lm.perplexity("zzz") > lm.perplexity("the cat sat"))
+    // in-domain beats shuffled
+    assert(lm.perplexity("the cat sat") < lm.perplexity("sat the cat"))
+  }
+
   test("heuristic stopword langid") {
     assert(TextStats.heuristicLangId("the cat is in the house and it is warm")._1 == "en")
     assert(TextStats.heuristicLangId("le chat est dans la maison et il est chaud")._1 == "fr")
