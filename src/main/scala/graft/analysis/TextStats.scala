@@ -24,6 +24,23 @@ object TextStats {
     "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
   private val bpeRe: Pattern = Pattern.compile(bpePattern)
 
+  /** The EXACT GPT-2 pre-tokenizer pattern, including the `\s+(?!\S)`
+    * alternative that splits a multi-whitespace run so its LAST
+    * whitespace char attaches to the following word (' return' for
+    * indented code, not 'return'). Used by [[graft.text.BpeTokenizer]]
+    * where the produced token TEXTS (hence ids) must match the real
+    * artifact. [[bpePattern]] stays lookahead-free for the DuckDB
+    * oracle; on SPACE-separated text the two patterns produce the same
+    * token count (the lookahead just moves the run's final space onto
+    * the following word), but a \t/\n-terminated run before a word
+    * yields ONE extra whitespace token here (the leftover last char
+    * can't join the word — ` ?` matches only a literal space), so
+    * [[bpeTokenCount]] deliberately keeps the RE2 pattern both engines
+    * share. BpeRegexSpec pins both facts.
+    */
+  val bpePatternGpt2: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
   def bpeTokenCount(text: String): Int = {
     val m = bpeRe.matcher(text)
     var n = 0

@@ -119,9 +119,12 @@ object FastTextBin {
         val wid = wordIds.get(tok)
         if (wid != null && vocab(wid).entryType == 0) {
           // addSubwords(known): maxn<=0 -> the word row alone; else the
-          // word row + its subword rows (getSubwords precomputes both)
+          // word row + its subword rows (getSubwords precomputes both).
+          // EOS is excluded: Dictionary::initNgrams skips
+          // computeSubwords for EOS, so real .bin artifacts never carry
+          // '<</s>>' char-ngram rows
           ids += wid
-          if (args.maxn > 0) ids ++= subwordIds(tok)
+          if (args.maxn > 0 && tok != EOS) ids ++= subwordIds(tok)
           wordHashes += hash(tok)
         } else if (wid == null) {
           // OOV word: subword rows only

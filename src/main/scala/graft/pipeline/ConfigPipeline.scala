@@ -49,8 +49,12 @@ object ConfigPipeline {
         java.util.regex.Matcher.quoteReplacement(
           vars.getOrElse(m.group(1),
             throw new IllegalArgumentException(s"unresolved config var $${${m.group(1)}}"))))
-      require(interpolated != "???",
-        s"config value '$raw' is a required override (???) — pass it in `overrides`")
+      // containment, not equality: a `???` arriving THROUGH ${var}
+      // interpolation into a longer string ("${input_path}/shard" with
+      // input_path: ???) must fail just as loudly as a bare marker
+      require(!interpolated.contains("???"),
+        s"config value '$raw' resolves to '$interpolated' — an unresolved required " +
+          "override (???); pass it in `overrides`")
       interpolated
     }
   }

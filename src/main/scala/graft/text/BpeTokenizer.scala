@@ -10,7 +10,8 @@ import scala.jdk.CollectionConverters._
   *
   * Algorithm (public, from the GPT-2 reference implementation):
   *   1. pre-tokenize with the GPT-2 regex ([[graft.analysis.TextStats
-  *      .bpePattern]] is that pattern);
+  *      .bpePatternGpt2]] — the exact artifact pattern incl. the
+  *      `\s+(?!\S)` whitespace-run split);
   *   2. map each pre-token's UTF-8 bytes through the bytes→unicode
   *      table (printable stand-ins for control bytes);
   *   3. greedily merge the adjacent symbol pair with the LOWEST merge
@@ -68,7 +69,7 @@ final class BpeTokenizer(vocab: Map[String, Int], ranks: Map[(String, String), I
 object BpeTokenizer {
 
   private[text] val preTokenRe =
-    java.util.regex.Pattern.compile(graft.analysis.TextStats.bpePattern)
+    java.util.regex.Pattern.compile(graft.analysis.TextStats.bpePatternGpt2)
 
   /** GPT-2 bytes_to_unicode: printable ASCII/Latin-1 map to themselves,
     * the remaining byte values map to 256+n in order.

@@ -131,6 +131,10 @@ class ModelsSpec extends AnyFunSuite {
     // multibyte char counts as ONE char in the n-gram walk
     val subsCafe = m.subwordIds("é")   // <é> : <é, <é>, é> (len-2,3 windows)
     assert(subsCafe.length == 3, s"got ${subsCafe.length}")
+    // EOS never expands to subwords (Dictionary::initNgrams skips it):
+    // a line of only-OOV words appends EOS -> exactly one id (the EOS
+    // word row), no '<</s>>' char-ngram buckets
+    assert(m.lineIds("") == Seq(0))
     f.delete()
   }
 

@@ -52,6 +52,14 @@ class ConfigPipelineSpec extends AnyFunSuite {
       ex.getMessage)
   }
 
+  test("??? EMBEDDED via ${var} interpolation fails loudly too (not a silent '???' path)") {
+    val ex = intercept[IllegalArgumentException] {
+      ConfigPipeline.parse(s"$cfgDir/heuristic_filter_english_pipeline.yaml",
+        Map("input_path" -> "/data/???/shard", "output_path" -> "y"))
+    }
+    assert(ex.getMessage.contains("???"), ex.getMessage)
+  }
+
   test("end-to-end run over jsonl equals the hand-built cascade") {
     val tmp = java.nio.file.Files.createTempDirectory("cfgpipe").toString
     // jsonl input with a keepable doc (the cc fixture carries both classes)
