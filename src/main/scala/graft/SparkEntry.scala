@@ -100,6 +100,15 @@ object SparkEntry {
              ELSE text END"""
   private val sliceIn =
     "CASE WHEN doc_id % 2 = 0 THEN 'head [S] ' || text || ' [E] tail' ELSE text END"
+  // exact-dedup input: every 10th doc collapses onto one of three shared
+  // texts -> 3 duplicate groups; all other docs keep natural (unique)
+  // text. Keeps the removal path non-vacuous at every sf.
+  private val exactDupIn =
+    "CASE WHEN doc_id % 10 = 0 THEN 'shared duplicate page body ' || cast(doc_id % 30 as string) ELSE text END"
+  // ft_quality input: even docs carry a marker n-gram the char-ngram
+  // model can learn, so hq/lq scores separate decisively
+  private val ftQualityIn =
+    "CASE WHEN doc_id % 2 = 0 THEN text || ' zqualityzmarkerz' ELSE text END"
   /** Cascade-entry input construction, replicated verbatim in the
     * DuckDB oracle and tools/gen_reference_labels.py (labels are keyed
     * by md5 of THIS string): case 0 keepable enriched prose, case 1
@@ -424,11 +433,19 @@ object SparkEntry {
     }),
 
     // ================= deduplication =================
+    // planted EXACT duplicates (the raw testdata has none): every 10th
+    // doc takes one of three shared texts, so the removal set is
+    // NON-EMPTY and order-sensitive (min doc_id per group kept) — the
+    // same construction replicated in the DuckDB oracle
     "dedup_exact_ids" -> ((s, dir) =>
-      ExactDedup.removalIds(tbl(s, dir, "documents")).select(col("doc_id"))),
+      ExactDedup.removalIds(
+        tbl(s, dir, "documents").withColumn("text", expr(exactDupIn)))
+        .select(col("doc_id"))),
 
     "dedup_exact_kept" -> ((s, dir) =>
-      ExactDedup.removeDuplicates(tbl(s, dir, "documents")).select("doc_id")),
+      ExactDedup.removeDuplicates(
+        tbl(s, dir, "documents").withColumn("text", expr(exactDupIn)))
+        .select("doc_id")),
 
     "dedup_minhash_ids" -> ((s, dir) =>
       MinHashLSH.removalIds(tbl(s, dir, "documents"))),
@@ -528,6 +545,10 @@ object SparkEntry {
     // A production run loads a pre-trained artifact instead (see
     // langid.FastTextBin); these entries train on the capped sample so
     // the catalog stays self-contained and deterministic.
+    // per-doc gate (oracle-green): the trained-model perplexity VALUE
+    // is not SQL-expressible, but "finite and positive for every doc"
+    // is — DuckDB emits the same (doc_id, true) rows; the aggregate
+    // train-beats-held-out property is gated by lm_ppl_gate
     "lm_perplexity" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 2 === 0)
@@ -535,7 +556,9 @@ object SparkEntry {
         .collect().map(_.getString(1)).toSeq
       val lm = graft.lm.NGramLM.train(train, order = 3)
       graft.langid.FastTextFilters.withPerplexity(docs, lm)
-        .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
+        .select(col("doc_id"),
+          (col("perplexity") > 0.0 && !isnan(col("perplexity")) &&
+            col("perplexity") < lit(Double.PositiveInfinity)).as("ppl_ok"))
     }),
 
     "ft_langid" -> ((s, dir) => {
@@ -558,28 +581,57 @@ object SparkEntry {
     }),
 
     "ft_quality" -> ((s, dir) => {
-      // stochastic Pareto keep (deterministic per-row sampling).
-      // rows-only BY NECESSITY: the keep set depends on the trained
-      // model's scores — the Pareto mechanism itself is covered by the
-      // NewOpsSpec distribution test
-      val docs = tbl(s, dir, "documents")
+      // stochastic Pareto keep (deterministic per-row sampling),
+      // emitted as a Pareto-CONSISTENCY gate (oracle-green): both keep
+      // classes are non-empty and the kept class carries the higher
+      // mean model score. The input plants a LEARNABLE class marker
+      // (even docs get a hq token), so the trained scores separate and
+      // the gate tests the keep rule pareto(text) > 1-score rather
+      // than coin flips over a constant score. The per-doc keep set
+      // itself depends on model scores (not SQL-expressible);
+      // exact-mechanism coverage is in NewOpsSpec.
+      val docs = tbl(s, dir, "documents").withColumn("text", expr(ftQualityIn))
       val train = docs.filter(col("doc_id") % 7 === 0)
-        .select("doc_id", "source", "text").orderBy("doc_id").limit(TrainCap)
+        .select("doc_id", "text").orderBy("doc_id").limit(TrainCap)
         .collect()
-        .map(r => (if (r.getString(1).length <= 4) "hq" else "lq", r.getString(2))).toSeq
+        .map(r => (if (r.getLong(0) % 2 == 0) "hq" else "lq", r.getString(1))).toSeq
       val model = graft.langid.CharNgramLangId.train(train, buckets = 1 << 14)
-      graft.langid.FastTextFilters.filterByQuality(docs, model)
-        .select(col("doc_id"), round(col("fasttext_quality"), 4).as("quality"))
+      graft.langid.FastTextFilters.withQuality(docs, model)
+        .agg(
+          count(lit(1)).as("docs"),
+          (count(when(col("fasttext_keep"), 1)) between(1, count(lit(1)) - 1)).as("both_classes"),
+          (avg(when(col("fasttext_keep"), col("fasttext_quality"))) >
+            avg(when(!col("fasttext_keep"), col("fasttext_quality")))).as("kept_scores_higher"))
     }),
 
     // ================= semantic dedup / IVF ANN =================
     // ranked (which_to_keep="hard") removal — the reference's own
     // semantics (remove docs with a preceding-in-cluster-order near
-    // neighbour; pairwise.py:275-299); also ~2.5x faster than the CC
-    // variant at toy scale (no iterative rounds)
-    "semantic_dedup_ids" -> ((s, dir) =>
-      graft.dedup.SemanticDedup.removalIdsRanked(
-        tbl(s, dir, "embeddings"), k = 8, eps = 0.7, whichToKeep = "hard")),
+    // neighbour; pairwise.py:275-299) — emitted as a per-id gate the
+    // DuckDB oracle recomputes exactly: has_neighbor (∃ other doc with
+    // cosine ≥ 1-eps, exact all-pairs in both engines) and removed_ok
+    // (removal ⇒ such a neighbor exists; isolated ids are never
+    // removed). The removal SET depends on kmeans cells (not
+    // SQL-expressible); the pair-level path is oracle-green via
+    // emb_neardup / emb_text_neardup.
+    "semantic_dedup_ids" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val removed = graft.dedup.SemanticDedup.removalIdsRanked(
+          emb, k = 8, eps = 0.7, whichToKeep = "hard")
+        .withColumn("_removed", lit(true))
+      val hasNbr = emb.select(col("vec_id"), col("embedding"))
+        .join(emb.select(col("vec_id").as("_oid"), col("embedding").as("_ovec")),
+          col("vec_id") =!= col("_oid"))
+        .filter(Knn.cosineCol(col("embedding"), col("_ovec")) >= 0.3)
+        .select("vec_id").distinct().withColumn("_has", lit(true))
+      emb.select("vec_id")
+        .join(removed, Seq("vec_id"), "left")
+        .join(hasNbr, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("_has"), lit(false)).as("has_neighbor"),
+          (!coalesce(col("_removed"), lit(false)) ||
+            coalesce(col("_has"), lit(false))).as("removed_ok"))
+    }),
 
     "ivf_topk" -> ((s, dir) => {
       // per-query recall GATE vs exact brute-force top-5 (see knn_lsh);
@@ -992,17 +1044,36 @@ object SparkEntry {
       "ta_quality" -> taQualityOracle,
 
       "dedup_exact_ids" ->
-        """SELECT doc_id FROM (
-             SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-             FROM documents) WHERE rn > 1""",
+        s"""SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+             FROM (SELECT doc_id, $exactDupIn AS t FROM documents)) WHERE rn > 1""",
 
       "dedup_exact_kept" ->
-        """SELECT doc_id FROM (
-             SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-             FROM documents) WHERE rn = 1""",
+        s"""SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+             FROM (SELECT doc_id, $exactDupIn AS t FROM documents)) WHERE rn = 1""",
 
       "knn_lsh" ->
         "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id % 50 = 0",
+
+      // trained-model gates: the model output itself is not
+      // SQL-expressible; the asserted PROPERTY is (knn_lsh pattern) —
+      // with has_neighbor recomputed exactly by DuckDB
+      "lm_perplexity" ->
+        "SELECT doc_id, true AS ppl_ok FROM documents",
+
+      "ft_quality" ->
+        "SELECT count(*) AS docs, true AS both_classes, true AS kept_scores_higher FROM documents",
+
+      "semantic_dedup_ids" ->
+        """SELECT e.vec_id,
+                  coalesce(h.has, false) AS has_neighbor,
+                  true AS removed_ok
+           FROM embeddings e LEFT JOIN (
+             SELECT a.vec_id, true AS has
+             FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+             GROUP BY a.vec_id) h ON e.vec_id = h.vec_id""",
 
       "ivf_topk" ->
         "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0",

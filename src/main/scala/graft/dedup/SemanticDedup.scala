@@ -19,9 +19,12 @@ import graft.sim.Knn
   * and a rank-precedence removal matching the reference's "max sim to a
   * preceding doc in cluster order" semantics.
   *
-  * Scale shape: pairwise cost is Σ cluster_size² — pick k so the average
-  * cell stays small (reference default: 1000 clusters for ~300M docs);
-  * the cluster equi-join shuffles only (cluster, id, vec). KMeans FIT
+  * Scale shape: pairwise cost is Σ cluster_size² — k AUTO-GROWS with
+  * the corpus ([[autoK]]: ≥ n / [[TargetCellSize]]; the reference pins
+  * 1000 clusters for ~300M docs, same calibration), and any hot cell
+  * KMeans can't split sub-splits at [[MaxCellSize]] on a hash of the
+  * id, so a boilerplate-embedding cluster can never go quadratic. The
+  * cluster equi-join shuffles only (cluster, id, vec). KMeans FIT
   * runs on a bounded sample (limit() early-terminates the scan — the
   * executors never iterate the full corpus for training; the reference
   * likewise fits on capped in-memory batches); ASSIGNMENT is the one
@@ -34,6 +37,29 @@ object SemanticDedup {
     * size. Centroid quality needs only ~100× k samples.
     */
   val FitSampleCap = 100000
+
+  /** Average docs per kmeans cell the pairwise tier is calibrated for.
+    * Within-cell pairwise cost is Σ cell², so the cluster count must
+    * GROW with the corpus — the reference pins ~1000 clusters for
+    * ~300M docs for the same reason (semantic/kmeans.py) but leans on
+    * GPU matmul per cell; CPU cosine wants smaller cells.
+    */
+  val TargetCellSize = 512
+
+  /** Hard per-cell cap: any cell larger than this (a hot cluster KMeans
+    * couldn't split — identical boilerplate embeddings) is sub-split on
+    * xxhash64(id) before the pairwise join, so one skewed cell can never
+    * go quadratic. The split is uniform-in-expectation (a block can
+    * exceed the cap by hash variance, never by a factor); pairs/removals
+    * across sub-blocks of the same cell are forgone — a documented
+    * recall guardrail that only activates ABOVE the cap.
+    */
+  val MaxCellSize = 4096
+
+  /** k grown with the corpus: at least `k`, at least n/targetCellSize. */
+  def autoK(n: Long, k: Int, targetCellSize: Int = TargetCellSize): Int =
+    math.max(k.toLong, (n + targetCellSize - 1) / targetCellSize)
+      .min(Int.MaxValue).toInt
 
   private val toVec = udf((v: Seq[Float]) => {
     val arr = v.map(_.toDouble).toArray
@@ -65,21 +91,42 @@ object SemanticDedup {
     model
   }
 
-  /** Assign a kmeans cluster per embedding. One full pass (transform);
+  /** Assign a kmeans cluster per embedding, with k auto-grown from the
+    * corpus size ([[autoK]]). One count + one full pass (transform);
     * the model comes from [[fitModel]]'s bounded sample.
     */
   def withClusters(df: DataFrame, k: Int, seed: Long = 42,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    assign(df, fitModel(df, k, seed, vecCol), vecCol)
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   targetCellSize: Int = TargetCellSize): DataFrame = {
+    val kEff = autoK(df.count(), k, targetCellSize)
+    assign(df, fitModel(df, kEff, seed, vecCol), vecCol)
+  }
 
   private def assign(df: DataFrame, model: KMeansModel, vecCol: String): DataFrame =
     model.transform(df.withColumn("_features", toVec(col(vecCol)))).drop("_features")
 
-  /** Near-duplicate pairs: exact cosine within each kmeans cell. */
+  /** Cluster assignment plus the hard-cap sub-split: emits a `_block`
+    * column (cluster + hash sub-bucket for cells above `maxCellSize`)
+    * that all pairwise joins key on. Cell sizes come from one tiny
+    * aggregation broadcast back onto the rows; when no cell exceeds the
+    * cap every `_block` equals its cluster and the split is a no-op.
+    */
+  def withBlocks(df: DataFrame, k: Int, seed: Long = 42,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 targetCellSize: Int = TargetCellSize,
+                 maxCellSize: Int = MaxCellSize): DataFrame =
+    subSplit(withClusters(df, k, seed, idCol, vecCol, targetCellSize), idCol, maxCellSize)
+
+  /** Near-duplicate pairs: exact cosine within each (capped) kmeans
+    * cell. k grows with the corpus; hot cells sub-split at the cap.
+    */
   def nearDupPairs(df: DataFrame, k: Int, eps: Double, seed: Long = 42,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    Knn.nearDupPairsWithin(withClusters(df, k, seed, idCol, vecCol),
-      "cluster", minCosine = 1.0 - eps, idCol, vecCol)
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   targetCellSize: Int = TargetCellSize,
+                   maxCellSize: Int = MaxCellSize): DataFrame =
+    Knn.nearDupPairsWithin(
+      withBlocks(df, k, seed, idCol, vecCol, targetCellSize, maxCellSize),
+      "_block", minCosine = 1.0 - eps, idCol, vecCol)
 
   /** Removal ids: connected components over near-dup pairs, keep min id
     * per component (id-ordered keep-first; see [[removalIdsRanked]] for
@@ -91,6 +138,19 @@ object SemanticDedup {
     ConnectedComponents.run(edges)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
+  }
+
+  /** The hard-cap sub-split shared by [[withBlocks]] and
+    * [[removalIdsRanked]]: `_block` = cluster, or cluster + hash
+    * sub-bucket when the cell exceeds `maxCellSize`.
+    */
+  private def subSplit(clustered: DataFrame, idCol: String, maxCellSize: Int): DataFrame = {
+    val sizes = clustered.groupBy("cluster").agg(count(lit(1)).as("_csize"))
+    clustered.join(broadcast(sizes), "cluster")
+      .withColumn("_nsub", greatest(lit(1L), ceil(col("_csize").cast("double") / maxCellSize)))
+      .withColumn("_block",
+        concat_ws("_", col("cluster"), pmod(xxhash64(col(idCol)), col("_nsub"))))
+      .drop("_csize", "_nsub")
   }
 
   /** Reference removal semantics (pairwise.py:275-299 + identify stage):
@@ -105,10 +165,12 @@ object SemanticDedup {
     */
   def removalIdsRanked(df: DataFrame, k: Int, eps: Double,
                        whichToKeep: String = "hard", seed: Long = 42,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       targetCellSize: Int = TargetCellSize,
+                       maxCellSize: Int = MaxCellSize): DataFrame = {
     require(Set("hard", "easy", "random").contains(whichToKeep))
-    val model = fitModel(df, k, seed, vecCol)
-    val clustered = assign(df, model, vecCol)
+    val model = fitModel(df, autoK(df.count(), k, targetCellSize), seed, vecCol)
+    val clustered = subSplit(assign(df, model, vecCol), idCol, maxCellSize)
     val centroids: Array[Array[Float]] = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val centroidOf = udf((cluster: Int) => centroids(cluster).toSeq)
     // the reference RankingStrategy sorts [distance, id] with ONE
@@ -124,11 +186,14 @@ object SemanticDedup {
       if (whichToKeep == "random") clustered.withColumn("_cdist", lit(0.0))
       else clustered.withColumn("_cdist",
         lit(1.0) - Knn.cosineCol(col(vecCol), centroidOf(col("cluster"))))
-    val w = Window.partitionBy("cluster").orderBy(rankKey: _*)
+    // rank + pairwise both key on _block (= cluster unless a hot cell
+    // crossed MaxCellSize and sub-split), so one skewed cell can never
+    // make the l×r join quadratic in the corpus
+    val w = Window.partitionBy("_block").orderBy(rankKey: _*)
     val ranked = withDist.withColumn("_rank", row_number().over(w))
-    val l = ranked.select(col("cluster"), col(vecCol).as("_v1"), col("_rank").as("_r1"))
-    val r = ranked.select(col("cluster"), col(idCol).as("_removed"), col(vecCol).as("_v2"), col("_rank").as("_r2"))
-    l.join(r, "cluster")
+    val l = ranked.select(col("_block"), col(vecCol).as("_v1"), col("_rank").as("_r1"))
+    val r = ranked.select(col("_block"), col(idCol).as("_removed"), col(vecCol).as("_v2"), col("_rank").as("_r2"))
+    l.join(r, "_block")
       .filter(col("_r1") < col("_r2"))
       .filter(Knn.cosineCol(col("_v1"), col("_v2")) >= lit(1.0 - eps))
       .select(col("_removed").as(idCol))

@@ -110,13 +110,75 @@ object SimHash {
     * sketch-then-verify shape (same as MinHashLSH.verifiedPairs): the
     * simhash bands propose, the exact measure disposes. Text joins back
     * only for the candidate pairs.
+    *
+    * Candidate generation is clique-collapsed: docs with identical
+    * (fingerprint, text) form one group, the band self-join runs over
+    * ONE representative per group, and member×member pairs expand only
+    * AFTER verification — a 1000-doc identical-boilerplate clique
+    * contributes 1 banded row and zero candidate pairs instead of
+    * ~500k (the pairs CONTRACT is quadratic in true cliques; the
+    * candidate stage needn't be). Grouping keys include md5(text), so
+    * every member of a group shares its representative's Jaccard with
+    * any cross-group counterpart exactly (identical texts), and
+    * intra-group pairs are J = 1.0 by construction — the output is
+    * bit-identical to banding every member.
     */
   def verifiedNearDupPairs(df: DataFrame, maxHamming: Int = 4, minJaccard: Double = 0.5,
                            ngram: Int = 3, idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame =
-    MinHashLSH.verifyEdges(
-      nearDupPairs(df, maxHamming, idCol, textCol).select(col("src"), col("dst")),
+                           textCol: String = "text"): DataFrame = {
+    val fpU = udf((t: String) => if (t == null) 0L else simhash64(t))
+    // eager localCheckpoint: groups feeds reps, cross-expansion (twice)
+    // and intra-expansion — four consumers of one aggregation
+    val groups = df
+      .select(col(idCol), md5(to_binary(col(textCol), lit("utf-8"))).as("_th"),
+        fpU(col(textCol)).as("simhash"))
+      .groupBy("simhash", "_th")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .localCheckpoint(true)
+    val byRep = groups.select(col("ids").getItem(0).as("_rep"), col("ids"))
+
+    val repPairs = MinHashLSH.verifyEdges(
+      bandedCandidates(groups.select(col("ids").getItem(0).as("id"), col("simhash")), maxHamming),
       df, ngram, minJaccard, idCol, textCol)
+
+    // cross-group expansion: every member pair inherits the verified
+    // rep-pair jaccard (texts identical within a group)
+    val cross = repPairs
+      .join(byRep.withColumnRenamed("ids", "_src_ids"), col("src") === col("_rep")).drop("_rep")
+      .join(byRep.withColumnRenamed("ids", "_dst_ids"), col("dst") === col("_rep")).drop("_rep")
+      .select(explode(col("_src_ids")).as("_a"), col("_dst_ids"), col("jaccard"))
+      .select(col("_a"), explode(col("_dst_ids")).as("_b"), col("jaccard"))
+      .select(least(col("_a"), col("_b")).as("src"),
+        greatest(col("_a"), col("_b")).as("dst"), col("jaccard"))
+
+    // intra-group pairs: identical texts -> J exactly 1.0 (output-bound)
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as src, y as dst))))")).as("p"))
+      .select(col("p.src"), col("p.dst"), lit(1.0).as("jaccard"))
+      .filter(lit(minJaccard) <= 1.0)
+
+    cross.union(intra)
+  }
+
+  /** Banded Hamming candidate pairs over (id, simhash) rows — the
+    * pigeonhole self-join, factored out so callers can run it over
+    * clique representatives.
+    */
+  private[dedup] def bandedCandidates(fp: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = fp.select(
+      col("id"), col("simhash"), bandStructs(maxHamming).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val ham = udf((a: Long, b: Long) => hamming(a, b))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("src"), col("r.id").as("dst"),
+        ham(col("l.simhash"), col("r.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .select(col("src"), col("dst"))
+  }
 
   def removalIds(df: DataFrame, maxHamming: Int = 3,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -131,19 +193,9 @@ object SimHash {
       .select(explode(expr(
         "transform(slice(ids, 1, size(ids) - 1), (x, i) -> struct(x as src, ids[i + 1] as dst))")).as("e"))
       .select(col("e.src"), col("e.dst"))
-    val reps = groups.select(col("simhash"), col("ids").getItem(0).as("id"))
-
     // banded Hamming candidates between DISTINCT fingerprints
-    val banded = reps.select(
-      col("id"), col("simhash"), bandStructs(maxHamming).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
-    val ham = udf((a: Long, b: Long) => hamming(a, b))
-    val crossEdges = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.id") < col("r.id"))
-      .filter(ham(col("l.simhash"), col("r.simhash")) <= maxHamming)
-      .select(col("l.id").as("src"), col("r.id").as("dst"))
-      .distinct()
+    val crossEdges = bandedCandidates(
+      groups.select(col("ids").getItem(0).as("id"), col("simhash")), maxHamming)
 
     ConnectedComponents.run(chainEdges.union(crossEdges))
       .filter(col("id") =!= col("component"))

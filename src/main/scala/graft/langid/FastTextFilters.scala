@@ -83,9 +83,14 @@ object FastTextFilters {
     math.pow(1.0 - u, -1.0 / alpha) - 1.0
   }
 
-  def filterByQuality(df: DataFrame, model: CharNgramLangId,
-                      hqLabel: String = "hq", alpha: Double = 3.0,
-                      textCol: String = "text", retainScore: Boolean = true): DataFrame = {
+  /** Per-doc quality score + stochastic-Pareto keep decision, UNfiltered
+    * (reference fasttext_filter.py:23-55 keep rule: pareto(seed=text) >
+    * 1 - score). Exposed so gate queries can assert Pareto consistency
+    * over BOTH classes; [[filterByQuality]] applies the keep.
+    */
+  def withQuality(df: DataFrame, model: CharNgramLangId,
+                  hqLabel: String = "hq", alpha: Double = 3.0,
+                  textCol: String = "text"): DataFrame = {
     val u = udf((t: String) => {
       if (t == null) (0.0, false)
       else {
@@ -93,10 +98,18 @@ object FastTextFilters {
         (s, paretoSample(t, alpha) > 1.0 - s)
       }
     })
-    val scored = df.withColumn("_q", u(col(textCol)))
-      .filter(col("_q._2"))
-    if (retainScore) scored.withColumn("fasttext_quality", col("_q._1")).drop("_q")
-    else scored.drop("_q")
+    df.withColumn("_q", u(col(textCol)))
+      .withColumn("fasttext_quality", col("_q._1"))
+      .withColumn("fasttext_keep", col("_q._2"))
+      .drop("_q")
+  }
+
+  def filterByQuality(df: DataFrame, model: CharNgramLangId,
+                      hqLabel: String = "hq", alpha: Double = 3.0,
+                      textCol: String = "text", retainScore: Boolean = true): DataFrame = {
+    val scored = withQuality(df, model, hqLabel, alpha, textCol)
+      .filter(col("fasttext_keep")).drop("fasttext_keep")
+    if (retainScore) scored else scored.drop("fasttext_quality")
   }
 
   /** FastTextLangId as a composable DocFilter driven by a real .bin
