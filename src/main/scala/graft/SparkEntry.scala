@@ -109,6 +109,11 @@ object SparkEntry {
   // model can learn, so hq/lq scores separate decisively
   private val ftQualityIn =
     "CASE WHEN doc_id % 2 = 0 THEN text || ' zqualityzmarkerz' ELSE text END"
+  // quality_classifier input: marker PREPENDED so max_chars truncation
+  // can never drop it; the committed tiny artifact predicts
+  // __label__hq exactly iff the marker token is present
+  private val qcIn =
+    "CASE WHEN doc_id % 2 = 0 THEN 'zqualityzmarkerz ' || text ELSE text END"
   /** Cascade-entry input construction, replicated verbatim in the
     * DuckDB oracle and tools/gen_reference_labels.py (labels are keyed
     * by md5 of THIS string): case 0 keepable enriched prose, case 1
@@ -559,6 +564,21 @@ object SparkEntry {
         .select(col("doc_id"),
           (col("perplexity") > 0.0 && !isnan(col("perplexity")) &&
             col("perplexity") < lit(Double.PositiveInfinity)).as("ppl_ok"))
+    }),
+
+    // model-classifier tier driven by a COMMITTED .bin artifact (no
+    // training collect anywhere): the reference's filter_by contract
+    // (classifiers/base.py:66-228) over a deterministic linear model
+    // whose predictions DuckDB replays exactly (hq ⇔ marker present;
+    // the prob is the constant softmax of the marker+EOS hidden state)
+    "quality_classifier" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("text", expr(qcIn))
+      graft.classify.QualityClassifier(
+          modelPath = "src/main/resources/models/quality_tiny.bin",
+          filterBy = Seq("__label__hq"))
+        .apply(docs)
+        .select(col("doc_id"), col("quality_pred"),
+          round(col("quality_prob"), 4).as("quality_prob"))
     }),
 
     "ft_langid" -> ((s, dir) => {
@@ -1061,6 +1081,13 @@ object SparkEntry {
       // with has_neighbor recomputed exactly by DuckDB
       "lm_perplexity" ->
         "SELECT doc_id, true AS ppl_ok FROM documents",
+
+      // the tiny artifact's only vocab rows are EOS + the marker, so
+      // the hidden state (hence the softmax prob) is one constant for
+      // marker docs: softmax((10-0.1)/2 · ±1) = 0.999949… -> 0.9999
+      "quality_classifier" ->
+        """SELECT doc_id, '__label__hq' AS quality_pred, 0.9999 AS quality_prob
+           FROM documents WHERE doc_id % 2 = 0""",
 
       "ft_quality" ->
         "SELECT count(*) AS docs, true AS both_classes, true AS kept_scores_higher FROM documents",

@@ -49,12 +49,25 @@ object StopLists {
 /** Language-aware word segmentation, the shape of the reference's
   * get_word_splitter (text_utils.py:20-66): jieba for zh, MeCab for ja,
   * whitespace otherwise. Those segmenters are C/dict-backed and not
-  * available offline, so zh/ja here use a deterministic script-run
-  * splitter (each CJK codepoint is a token, runs of other scripts split
-  * on whitespace) — the documented offline stand-in with the same
-  * signature; a real segmenter plugs into the same slot at deploy.
+  * available offline, so zh/ja here run DICTIONARY forward-maximum
+  * matching (jieba's own base strategy for words outside its HMM) over
+  * a committed high-frequency lexicon (resources/lexicon/{zh,ja}.txt),
+  * degrading per-codepoint exactly like the script-run splitter when no
+  * lexicon entry matches — so with an empty lexicon the output is the
+  * old fallback, and a full deploy lexicon drops into the same files.
   */
 object Segmenter {
+
+  /** (words, max word length in chars) per language, loaded once. */
+  private lazy val lexicons: Map[String, (Set[String], Int)] =
+    Seq("zh", "ja").map { l =>
+      val words = Option(getClass.getResourceAsStream(s"/lexicon/$l.txt")).map { s =>
+        val src = scala.io.Source.fromInputStream(s, "UTF-8")
+        try src.getLines().map(_.trim).filter(w => w.nonEmpty && !w.startsWith("#")).toSet
+        finally src.close()
+      }.getOrElse(Set.empty[String])
+      l -> (words, if (words.isEmpty) 1 else words.iterator.map(_.length).max)
+    }.toMap
 
   private def isCjk(cp: Int): Boolean = {
     val b = Character.UnicodeBlock.of(cp)
@@ -75,16 +88,29 @@ object Segmenter {
   def words(lang: String, text: String): Array[String] = {
     val l = lang.toLowerCase(java.util.Locale.ROOT)
     if (l != "zh" && l != "ja") return TextUtils.words(PyText.strip(text))
+    val (lex, maxLen) = lexicons(l)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val run = new java.lang.StringBuilder()
     def flushRun(): Unit = { if (run.length > 0) { out += run.toString; run.setLength(0) } }
     var i = 0
     while (i < text.length) {
       val cp = text.codePointAt(i)
-      if (Character.isWhitespace(cp)) flushRun()
-      else if (isCjk(cp)) { flushRun(); out += new String(Character.toChars(cp)) }
-      else run.appendCodePoint(cp)
-      i += Character.charCount(cp)
+      if (Character.isWhitespace(cp)) { flushRun(); i += Character.charCount(cp) }
+      else if (isCjk(cp)) {
+        flushRun()
+        // forward maximum match: longest lexicon word starting here,
+        // else the single codepoint (the run-splitter fallback)
+        var len = math.min(maxLen, text.length - i)
+        var matched: String = null
+        while (matched == null && len >= 2) {
+          val cand = text.substring(i, i + len)
+          if (lex.contains(cand)) matched = cand
+          len -= 1
+        }
+        if (matched != null) { out += matched; i += matched.length }
+        else { out += new String(Character.toChars(cp)); i += Character.charCount(cp) }
+      }
+      else { run.appendCodePoint(cp); i += Character.charCount(cp) }
     }
     flushRun()
     out.toArray

@@ -163,9 +163,10 @@ class JusTextSpec extends AnyFunSuite {
     assert(!StopLists.isNonSpaced("en"))
   }
 
-  test("segmenter: CJK chars tokenize singly, latin runs split on whitespace") {
-    assert(Segmenter.words("zh", "这是一个测试").toSeq == Seq("这", "是", "一", "个", "测", "试"))
-    assert(Segmenter.words("ja", "これはtestです").toSeq == Seq("こ", "れ", "は", "test", "で", "す"))
+  test("segmenter: lexicon words match greedily, other CJK chars tokenize singly, latin runs split on whitespace") {
+    // 一个 is a lexicon word; the rest fall back per-codepoint
+    assert(Segmenter.words("zh", "这是一个测试").toSeq == Seq("这", "是", "一个", "测", "试"))
+    assert(Segmenter.words("ja", "これはtestです").toSeq == Seq("これ", "は", "test", "です"))
     assert(Segmenter.words("en", "plain old words").toSeq == Seq("plain", "old", "words"))
   }
 
