@@ -84,8 +84,12 @@ object SemanticDedup {
     // k cannot exceed the sample size (ml.KMeans crashes otherwise);
     // counting the bounded cached sample is cheap
     val kEff = math.max(1, math.min(k.toLong, fitSample.count()).toInt)
+    // 10 iterations + random init: cluster assignment here is a
+    // BLOCKING function for the pairwise tier, not a clustering
+    // deliverable — convergence past coarse cell shapes (and the
+    // k-means|| seeding passes) buys nothing but driver-side job rounds
     val model = new KMeans().setK(kEff).setSeed(seed).setFeaturesCol("_features")
-      .setPredictionCol("cluster").setMaxIter(20)
+      .setPredictionCol("cluster").setMaxIter(10).setInitMode("random")
       .fit(fitSample)
     fitSample.unpersist()
     model
@@ -114,8 +118,15 @@ object SemanticDedup {
   def withBlocks(df: DataFrame, k: Int, seed: Long = 42,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  targetCellSize: Int = TargetCellSize,
-                 maxCellSize: Int = MaxCellSize): DataFrame =
-    subSplit(withClusters(df, k, seed, idCol, vecCol, targetCellSize), idCol, maxCellSize)
+                 maxCellSize: Int = MaxCellSize): DataFrame = {
+    // materialize the embeddings ONCE: count (autoK), fit sample,
+    // assignment and the subSplit size-join otherwise each re-evaluate
+    // an upstream embedder UDF (nondeterministic UDFs block pruning) —
+    // the reference likewise persists its embedder stage output before
+    // kmeans/pairwise consume it
+    val mat = df.localCheckpoint(true)
+    subSplit(withClusters(mat, k, seed, idCol, vecCol, targetCellSize), idCol, maxCellSize)
+  }
 
   /** Near-duplicate pairs: exact cosine within each (capped) kmeans
     * cell. k grows with the corpus; hot cells sub-split at the cap.
@@ -169,8 +180,9 @@ object SemanticDedup {
                        targetCellSize: Int = TargetCellSize,
                        maxCellSize: Int = MaxCellSize): DataFrame = {
     require(Set("hard", "easy", "random").contains(whichToKeep))
-    val model = fitModel(df, autoK(df.count(), k, targetCellSize), seed, vecCol)
-    val clustered = subSplit(assign(df, model, vecCol), idCol, maxCellSize)
+    val mat = df.localCheckpoint(true) // one embedder pass (see withBlocks)
+    val model = fitModel(mat, autoK(mat.count(), k, targetCellSize), seed, vecCol)
+    val clustered = subSplit(assign(mat, model, vecCol), idCol, maxCellSize)
     val centroids: Array[Array[Float]] = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val centroidOf = udf((cluster: Int) => centroids(cluster).toSeq)
     // the reference RankingStrategy sorts [distance, id] with ONE
