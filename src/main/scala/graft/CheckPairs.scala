@@ -18,9 +18,12 @@ object CheckPairs {
       val emb = graft.sim.HashEmbedder.withEmbedding(docs).select("doc_id", "embedding")
       val sem = graft.dedup.SemanticDedup.nearDupPairs(emb, 8, 0.05, idCol = "doc_id")
         .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sem2 = graft.dedup.SemanticDedup.nearDupPairs(emb, 8, 0.05, idCol = "doc_id", probes = 2)
+        .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val jac = graft.dedup.MinHashLSH.verifiedPairs(docs, minJaccard = 0.5)
         .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"$dir sem=${sem.size} jac=${jac.size} equal=${sem == jac} missing=${(jac -- sem).take(5)} extra=${(sem -- jac).take(5)}")
+      println(s"$dir probes=2: sem=${sem2.size} missing=${(jac -- sem2).size} (boundary splits recovered: ${(sem2 -- sem).size})")
     }
     spark.stop()
   }

@@ -1,11 +1,9 @@
 package graft.dedup
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.sim.Knn
+import graft.sim.{KMeansLite, Knn}
 
 /** Semantic (embedding-space) deduplication: KMeans clustering, then
   * within-cluster pairwise cosine, then keep-one-per-near-dup-group.
@@ -14,8 +12,11 @@ import graft.sim.Knn
   * embeddings, kmeans.py:260-286), PairwiseStage (within-cluster batched
   * cosine max-similarity, pairwise.py:37-71, ranked by distance-to-
   * centroid per which_to_keep, pairwise.py:275-299), IdentifyDuplicates
-  * (eps threshold). Spark-first: ml.KMeans for the model, an equi-join
-  * on cluster id for the pairwise step (never the full cross product),
+  * (eps threshold). Spark-first: a bounded driver-side Lloyd fit
+  * ([[graft.sim.KMeansLite]] — the sample is already capped, so the
+  * fit needs zero Spark jobs) with distributed broadcast-model
+  * assignment, an equi-join on cluster id for the pairwise step
+  * (never the full cross product),
   * and a rank-precedence removal matching the reference's "max sim to a
   * preceding doc in cluster order" semantics.
   *
@@ -61,38 +62,26 @@ object SemanticDedup {
     math.max(k.toLong, (n + targetCellSize - 1) / targetCellSize)
       .min(Int.MaxValue).toInt
 
-  private val toVec = udf((v: Seq[Float]) => {
-    val arr = v.map(_.toDouble).toArray
-    val n = math.sqrt(arr.map(x => x * x).sum)
-    Vectors.dense(if (n == 0) arr else arr.map(_ / n))
-  })
-
   /** Fit the cluster model on a bounded sample of L2-normalized
     * embeddings (euclidean kmeans ≈ spherical/cosine kmeans —
-    * kmeans.py:260-266).
+    * kmeans.py:260-266). The sample COLLECTS to the driver (≤ fitCap
+    * rows — the same bounded-driver-work discipline as TrainCap model
+    * training) and Lloyd runs locally in milliseconds; 10 iterations,
+    * random seeded init — assignment is a blocking function for the
+    * pairwise tier, not a clustering deliverable.
     */
   def fitModel(df: DataFrame, k: Int, seed: Long = 42,
-               vecCol: String = "embedding", fitCap: Int = FitSampleCap): KMeansModel = {
+               vecCol: String = "embedding", fitCap: Int = FitSampleCap): KMeansLite.Model = {
     // hash-ordered cap, not a prefix: limit() alone takes the FIRST
     // files of the scan, which on partitioned/sorted corpora is a
     // biased slice (e.g. one language) — orderBy(xxhash64)+limit is a
     // TakeOrdered partial top-N (no full sort) over a pseudo-random key
-    val fitSample = df.select(col(vecCol))
+    val samples = df.select(col(vecCol))
       .orderBy(xxhash64(col(vecCol)))
       .limit(fitCap)
-      .select(toVec(col(vecCol)).as("_features")).cache()
-    // k cannot exceed the sample size (ml.KMeans crashes otherwise);
-    // counting the bounded cached sample is cheap
-    val kEff = math.max(1, math.min(k.toLong, fitSample.count()).toInt)
-    // 10 iterations + random init: cluster assignment here is a
-    // BLOCKING function for the pairwise tier, not a clustering
-    // deliverable — convergence past coarse cell shapes (and the
-    // k-means|| seeding passes) buys nothing but driver-side job rounds
-    val model = new KMeans().setK(kEff).setSeed(seed).setFeaturesCol("_features")
-      .setPredictionCol("cluster").setMaxIter(10).setInitMode("random")
-      .fit(fitSample)
-    fitSample.unpersist()
-    model
+      .collect()
+      .map(r => KMeansLite.normalize(r.getSeq[Float](0)))
+    KMeansLite.fit(samples, k, iters = 10, seed = seed)
   }
 
   /** Assign a kmeans cluster per embedding, with k auto-grown from the
@@ -106,8 +95,20 @@ object SemanticDedup {
     assign(df, fitModel(df, kEff, seed, vecCol), vecCol)
   }
 
-  private def assign(df: DataFrame, model: KMeansModel, vecCol: String): DataFrame =
-    model.transform(df.withColumn("_features", toVec(col(vecCol)))).drop("_features")
+  private def assign(df: DataFrame, model: KMeansLite.Model, vecCol: String,
+                     probes: Int = 1): DataFrame =
+    if (probes <= 1) {
+      val predictU = udf((v: Seq[Float]) => model.predict(KMeansLite.normalize(v)))
+      df.withColumn("cluster", predictU(col(vecCol)))
+    } else {
+      // multi-probe blocking: each row carries its top-`probes` cells,
+      // so a near-dup pair straddling a cell boundary still shares one
+      // (measured: single-probe blocking misses ~2% of exact pairs at
+      // sf0.1 — CheckPairs/CheckMissing; probes=2 recovers them at ~4x
+      // pairwise cost)
+      val predictU = udf((v: Seq[Float]) => model.predictTop(KMeansLite.normalize(v), probes))
+      df.withColumn("cluster", explode(predictU(col(vecCol))))
+    }
 
   /** Cluster assignment plus the hard-cap sub-split: emits a `_block`
     * column (cluster + hash sub-bucket for cells above `maxCellSize`)
@@ -118,14 +119,17 @@ object SemanticDedup {
   def withBlocks(df: DataFrame, k: Int, seed: Long = 42,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  targetCellSize: Int = TargetCellSize,
-                 maxCellSize: Int = MaxCellSize): DataFrame = {
+                 maxCellSize: Int = MaxCellSize,
+                 probes: Int = 1): DataFrame = {
     // materialize the embeddings ONCE: count (autoK), fit sample,
     // assignment and the subSplit size-join otherwise each re-evaluate
     // an upstream embedder UDF (nondeterministic UDFs block pruning) —
     // the reference likewise persists its embedder stage output before
     // kmeans/pairwise consume it
     val mat = df.localCheckpoint(true)
-    subSplit(withClusters(mat, k, seed, idCol, vecCol, targetCellSize), idCol, maxCellSize)
+    val kEff = autoK(mat.count(), k, targetCellSize)
+    val clustered = assign(mat, fitModel(mat, kEff, seed, vecCol), vecCol, probes)
+    subSplit(clustered, idCol, maxCellSize)
   }
 
   /** Near-duplicate pairs: exact cosine within each (capped) kmeans
@@ -134,10 +138,14 @@ object SemanticDedup {
   def nearDupPairs(df: DataFrame, k: Int, eps: Double, seed: Long = 42,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    targetCellSize: Int = TargetCellSize,
-                   maxCellSize: Int = MaxCellSize): DataFrame =
-    Knn.nearDupPairsWithin(
-      withBlocks(df, k, seed, idCol, vecCol, targetCellSize, maxCellSize),
+                   maxCellSize: Int = MaxCellSize,
+                   probes: Int = 1): DataFrame = {
+    val pairs = Knn.nearDupPairsWithin(
+      withBlocks(df, k, seed, idCol, vecCol, targetCellSize, maxCellSize, probes),
       "_block", minCosine = 1.0 - eps, idCol, vecCol)
+    // multi-probe emits a pair once per shared block — dedup by key
+    if (probes <= 1) pairs else pairs.dropDuplicates("src", "dst")
+  }
 
   /** Removal ids: connected components over near-dup pairs, keep min id
     * per component (id-ordered keep-first; see [[removalIdsRanked]] for
@@ -183,7 +191,7 @@ object SemanticDedup {
     val mat = df.localCheckpoint(true) // one embedder pass (see withBlocks)
     val model = fitModel(mat, autoK(mat.count(), k, targetCellSize), seed, vecCol)
     val clustered = subSplit(assign(mat, model, vecCol), idCol, maxCellSize)
-    val centroids: Array[Array[Float]] = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val centroids: Array[Array[Float]] = model.centroids.map(_.map(_.toFloat))
     val centroidOf = udf((cluster: Int) => centroids(cluster).toSeq)
     // the reference RankingStrategy sorts [distance, id] with ONE
     // ascending flag — the id tie-break follows the distance direction

@@ -35,6 +35,25 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(blocks.sum == 3000)
   }
 
+  test("multi-probe blocking recovers a boundary-straddling near-dup pair") {
+    // two tight groups plus a NEAR-DUP pair placed midway between the
+    // group directions: single-probe assignment can split it; probes=2
+    // guarantees the pair shares a block (each point carries both cells)
+    val g1 = (0L until 20L).map(i => (i, Seq(1.0f, 0.001f * i, 0.0f)))
+    val g2 = (100L until 120L).map(i => (i, Seq(0.0f, 0.001f * i, 1.0f)))
+    val boundary = Seq(
+      (500L, Seq(0.7071f, 0.0011f, 0.7071f)),
+      (501L, Seq(0.7070f, 0.0010f, 0.7072f)))
+    val docs = (g1 ++ g2 ++ boundary).toDF("vec_id", "embedding")
+    val p2 = SemanticDedup.nearDupPairs(docs, k = 2, eps = 0.001, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2.contains((500L, 501L)), s"boundary pair missed with probes=2: $p2")
+    // multi-probe never duplicates a pair in the output
+    val all = SemanticDedup.nearDupPairs(docs, k = 2, eps = 0.5, probes = 2)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == all.toSet.size, "duplicate pairs in multi-probe output")
+  }
+
   test("no-op below the cap: _block == cluster and ranked removals unchanged") {
     val docs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.999f, 0.01f, 0.0f)),   // near pair
