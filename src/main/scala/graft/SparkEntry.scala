@@ -274,6 +274,23 @@ object SparkEntry {
         .select("doc_id", "keep", "first_reject")
     }),
 
+    // the SAME cascade driven through the reference's OWN YAML config
+    // (ConfigPipeline.parse on heuristic_filter_english_pipeline.yaml →
+    // filter list → fused cascade) — driver-checks the config entry
+    // point against the reference-generated labels, so a user pointing
+    // the YAML runner at a table gets bit-identical keep/first_reject
+    "config_cascade_en" -> ((s, dir) => {
+      val parsed = graft.pipeline.ConfigPipeline.parse(
+        "/root/reference/nemo_curator/config/text/heuristic_filter_english_pipeline.yaml",
+        Map("input_path" -> "unused", "output_path" -> "unused"))
+      val filters = parsed.stages
+        .collect { case f: graft.pipeline.ConfigPipeline.Filters => f }.head.filters
+      graft.filters.Cascade.score(
+          tbl(s, dir, "documents").withColumn("text", expr(cascadeIn)),
+          filters = filters.toArray)
+        .select("doc_id", "keep", "first_reject")
+    }),
+
     // the 25-stage NON-English cascade (the reference's second shipped
     // pipeline config) — oracle = reference-generated labels, md5-keyed
     "cascade_non_en" -> ((s, dir) => {
@@ -943,6 +960,13 @@ object SparkEntry {
         // (tools/gen_reference_labels.py; committed parquet) — keep AND
         // first-reject attribution must match the reference bit-exactly
         // at whichever sf dir the driver verifies
+        s"""SELECT d.doc_id, l.keep, l.first_reject
+           FROM (SELECT doc_id, $cascadeIn AS t FROM documents) d
+           JOIN '/root/repo/src/test/resources/labels_ref_by_md5.parquet' l
+             ON md5(d.t) = l.text_md5""",
+
+      // YAML-config-driven cascade must match the same reference labels
+      "config_cascade_en" ->
         s"""SELECT d.doc_id, l.keep, l.first_reject
            FROM (SELECT doc_id, $cascadeIn AS t FROM documents) d
            JOIN '/root/repo/src/test/resources/labels_ref_by_md5.parquet' l

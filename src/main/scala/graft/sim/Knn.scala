@@ -46,19 +46,33 @@ object Knn {
 
   /** Exact top-k cosine neighbors of each query vector.
     * queries is expected to be small (it is broadcast); corpus is the
-    * large side and streams through one codegen stage.
+    * large side and streams through one codegen stage. Top-k is a
+    * BOUNDED custom aggregate ([[graft.functions.TopKPairs]], a
+    * TypedImperativeAggregate whose partial buffers cap at k), so the
+    * one shuffle carries k rows per query per mapper — the old window
+    * rank shuffled and sorted the full |corpus|×|queries| product. Ids
+    * must be integral (they ride the aggregate as long).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    c.crossJoin(q)
+    // struct(-sim, id) ascending == (sim desc, id asc) — the same
+    // deterministic order the window rank used
+    val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", cosineCol(col("_cv"), col("_qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+      .select(col("query_id"),
+        struct((-col("sim")).as("negsim"),
+          col("neighbor_id").cast("long").as("neighbor_id")).as("_t"))
+    val topk = GraftSqlBridge.column(
+      graft.functions.TopKPairs(GraftSqlBridge.expression(col("_t")), k)
+        .toAggregateExpression())
+    scored.groupBy("query_id").agg(topk.as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
+      .select(col("query_id"), col("_t.neighbor_id").as("neighbor_id"),
+        (-col("_t.negsim")).as("sim"), (col("_i") + 1).as("rank"))
   }
 
   /** Random-hyperplane signatures: `tables` independent `bits`-bit codes. */

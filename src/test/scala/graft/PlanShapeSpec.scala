@@ -101,6 +101,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows.isEmpty, plan)
   }
 
+  test("knn_brute is a bounded top-k aggregate — no WindowExec over the cross product") {
+    val q = SparkEntry.queries("knn_brute")(spark, "/root/testdata/sf0.001")
+    val windows = unwrap(q).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, planString(q))
+    val plan = planString(q)
+    // partial_top_k_pairs before the exchange = map-side buffers cap at
+    // k, so the shuffle carries k rows per query per mapper
+    assert(plan.contains("partial_top_k_pairs"), plan)
+    assert(plan.contains("top_k_pairs"), plan)
+  }
+
+  test("semantic pairwise tier joins on the capped _block key, never a cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = graft.dedup.SemanticDedup.nearDupPairs(emb, k = 4, eps = 0.1)
+    val plan = planString(pairs)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("filter pushdown and column pruning reach the parquet scan") {
     val q = docs.filter($"doc_id" > 100).select("doc_id")
     val scan = q.queryExecution.executedPlan.toString
