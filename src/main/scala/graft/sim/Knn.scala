@@ -145,39 +145,21 @@ object Knn {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 16,
               nProbe: Int = 4, seed: Long = 42,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
-    val toVec = udf((v: Seq[Float]) => {
-      val arr = v.map(_.toDouble).toArray
-      val n = math.sqrt(arr.map(x => x * x).sum)
-      Vectors.dense(if (n == 0) arr else arr.map(_ / n))
-    })
     // centroid FIT on a bounded hash-ordered sample (TakeOrdered partial
-    // top-N — no full sort, no bias toward the scan's first files);
-    // ASSIGNMENT is the one full pass (same discipline as SemanticDedup)
-    val fitSample = corpus.select(col(vecCol))
+    // top-N — no full sort, no bias toward the scan's first files),
+    // collected and Lloyd-fit on the driver (KMeansLite — zero Spark
+    // jobs per fit); ASSIGNMENT is the one full pass (same discipline
+    // as SemanticDedup)
+    val samples = corpus.select(col(vecCol))
       .orderBy(xxhash64(col(vecCol))).limit(graft.dedup.SemanticDedup.FitSampleCap)
-      .select(toVec(col(vecCol)).as("_f")).cache()
-    // cells cannot exceed the sample size (ml.KMeans crashes otherwise)
-    val cellsEff = math.max(1, math.min(cells.toLong, fitSample.count()).toInt)
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cellsEff).setSeed(seed).setFeaturesCol("_f").setPredictionCol("cell")
-      .setMaxIter(10).fit(fitSample)
-    fitSample.unpersist()
-    val feat = corpus.withColumn("_f", toVec(col(vecCol)))
-    val assigned = model.transform(feat).drop("_f")
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("cell"))
-    val centroids = model.clusterCenters.zipWithIndex
-    val probeUdf = udf((v: Seq[Float]) => {
-      val arr = v.map(_.toDouble).toArray
-      val n = math.sqrt(arr.map(x => x * x).sum)
-      val q = if (n == 0) arr else arr.map(_ / n)
-      centroids.map { case (c: MlVector, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < q.length && j < c.size) { d += (q(j) - c(j)) * (q(j) - c(j)); j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
-    })
+      .collect().map(r => KMeansLite.normalize(r.getSeq[Float](0)))
+    val model = KMeansLite.fit(samples, cells, iters = 10, seed = seed)
+    val cellUdf = udf((v: Seq[Float]) => model.predict(KMeansLite.normalize(v)))
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        cellUdf(col(vecCol)).as("cell"))
+    val probeUdf = udf((v: Seq[Float]) =>
+      model.predictTop(KMeansLite.normalize(v), nProbe))
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("cell", explode(probeUdf(col("_qv")))))
