@@ -687,6 +687,36 @@ object SparkEntry {
           (coalesce(col("hits"), lit(0)) / 5.0 >= 0.3).as("recall_ok"))
     }),
 
+    // ================= acquisition-source extractors =================
+    // arXiv LaTeX cleaning over constructed input: preamble comment +
+    // \def macro + \section header + body with \gm macro uses +
+    // \appendix tail. The expected output is exactly SQL-expressible
+    // (section header survives, comments/preamble/tail drop, macro
+    // inline-expands). Input built with Scala literals — backslashes
+    // never pass through the SQL parser on the Spark side.
+    "arxiv_extract" -> ((s, dir) => {
+      val content = concat(
+        lit("% top comment\njunk preamble\n\\def\\gm{quality}\n\\section{Intro}\n"),
+        replace(col("text"), lit(" data "), lit(" \\gm ")),
+        lit("\n\\appendix\ntrailing"))
+      graft.sources.ArxivSource.extractColumns(
+          tbl(s, dir, "documents").select(col("doc_id"), array(content).as("content")))
+        .select(col("doc_id"), col("text"))
+    }),
+
+    // wikitext-lite cleaning over constructed input: infobox template,
+    // heading, wikilinked body words, a category link, a ref tag — the
+    // cleaned text is the original body with the known frame
+    "wiki_extract" -> ((s, dir) => {
+      val raw = concat(
+        lit("{{Infobox|a=1}}\n== Intro ==\n"),
+        replace(col("text"), lit(" the "), lit(" [[the]] ")),
+        lit("\n[[Category:Docs]]<ref>x</ref>"))
+      graft.sources.WikipediaSource.extractColumns(
+          tbl(s, dir, "documents").select(col("doc_id"), raw.as("raw_content")))
+        .select(col("doc_id"), col("text"))
+    }),
+
     // ================= unicode clean / warc / rechunk / salting =================
     "mod_unicode_clean" -> ((s, dir) => {
       val u = udf((t: String) => graft.scrub.UnicodeClean.clean(t))
@@ -1185,6 +1215,18 @@ object SparkEntry {
 
       "warc_roundtrip" ->
         "SELECT doc_id, 'http://w/' || CAST(doc_id AS VARCHAR) AS url, text AS content FROM documents",
+
+      // expected arXiv cleaning result: section header + macro-expanded
+      // body + trailing newline (chr(92) = backslash; DuckDB string
+      // literals do no escape processing)
+      "arxiv_extract" ->
+        """SELECT doc_id,
+              chr(92) || 'section{Intro}' || chr(10) ||
+              replace(text, ' data ', ' quality ') || chr(10) AS text
+           FROM documents""",
+
+      "wiki_extract" ->
+        "SELECT doc_id, 'Intro' || chr(10) || text || chr(10) || 'Docs' AS text FROM documents",
 
       "split_rechunk" ->
         "SELECT doc_id, text AS reassembled FROM documents",
