@@ -105,6 +105,43 @@ object SparkEntry {
   // text. Keeps the removal path non-vacuous at every sf.
   private val exactDupIn =
     "CASE WHEN doc_id % 10 = 0 THEN 'shared duplicate page body ' || cast(doc_id % 30 as string) ELSE text END"
+  // near-dup pair input: a fully CONSTRUCTED corpus so the exact
+  // all-pairs Jaccard oracle and the sketch candidate generators agree
+  // at EVERY testdata scale (raw-corpus pairs near the J=0.5 boundary
+  // sit where 20x13-band LSH recall < 1 — the old entries were pinned
+  // to sf0.01). Per decade g: doc g+2 = 96 unique template words,
+  // g+7 = exact copy (SimHash hamming 0, MinHash all bands equal —
+  // guaranteed catch), g+3 = copy + one appended word (token-3-gram
+  // J = 94/95 ~ 0.989; char-24-gram J ~ 0.94 -> per-pair LSH miss
+  // probability ~ 7e-6, and the whole construction is deterministic —
+  // verified green at sf0.001/0.01/0.1). All other docs get globally
+  // unique words, so the exact J >= 0.5 pair set is EXACTLY the
+  // planted 3 pairs per decade.
+  private val ndTemplate =
+    (0 until 96).map(i => s"t${('a' + i / 26).toChar}${('a' + i % 26).toChar}#").mkString(" ")
+  private val nearDupIn =
+    s"""CASE WHEN doc_id % 10 = 2 THEN replace('$ndTemplate', '#', cast(doc_id - 2 as string))
+             WHEN doc_id % 10 = 3 THEN replace('$ndTemplate', '#', cast(doc_id - 3 as string)) || ' xtail'
+             WHEN doc_id % 10 = 7 THEN replace('$ndTemplate', '#', cast(doc_id - 7 as string))
+             ELSE replace('$ndTemplate', '#', 'u' || cast(doc_id as string)) END"""
+  // simhash pair input: the near member is a BLOCK SWAP of its base —
+  // 'zs A zs B zs' and 'zs B zs A zs' have identical word-unigram AND
+  // word-bigram multisets, so their 64-bit simhash (built from exactly
+  // those features) is IDENTICAL by construction: hamming 0, candidate
+  // recall GUARANTEED at every scale with zero sketch luck — while
+  // their token-3-gram sets differ at the two block boundaries
+  // (J = 96/98 ~ 0.9796 >= 0.5, a true near-duplicate to the oracle).
+  private val ndTplA =
+    (0 until 48).map(i => s"p${('a' + i / 26).toChar}${('a' + i % 26).toChar}#").mkString(" ")
+  private val ndTplB =
+    (0 until 48).map(i => s"q${('a' + i / 26).toChar}${('a' + i % 26).toChar}#").mkString(" ")
+  private val swapDupIn = {
+    def blk(tpl: String, d: String) = s"replace('$tpl', '#', cast($d as string))"
+    s"""CASE WHEN doc_id % 10 = 2 THEN 'zs ' || ${blk(ndTplA, "doc_id - 2")} || ' zs ' || ${blk(ndTplB, "doc_id - 2")} || ' zs'
+             WHEN doc_id % 10 = 3 THEN 'zs ' || ${blk(ndTplB, "doc_id - 3")} || ' zs ' || ${blk(ndTplA, "doc_id - 3")} || ' zs'
+             WHEN doc_id % 10 = 7 THEN 'zs ' || ${blk(ndTplA, "doc_id - 7")} || ' zs ' || ${blk(ndTplB, "doc_id - 7")} || ' zs'
+             ELSE replace('$ndTemplate', '#', 'w' || cast(doc_id as string)) END"""
+  }
   // ft_quality input: even docs carry a marker n-gram the char-ngram
   // model can learn, so hq/lq scores separate decisively
   private val ftQualityIn =
@@ -492,16 +529,18 @@ object SparkEntry {
 
     // sketch-then-verify: simhash bands propose candidates (hamming<=4),
     // exact token-3-gram Jaccard disposes — output is oracle-checkable
-    // against the exact all-pairs J>=0.5 ground truth (identical to the
-    // dedup_jaccard_pairs oracle; verified equal at sf0.01, incl. the
-    // hamming-4 pair the old hamming<=3 entry missed and the hamming-5
-    // false positive the verification drops)
+    // against the exact all-pairs J>=0.5 ground truth over the
+    // CONSTRUCTED nearDupIn corpus (scale-robust; see nearDupIn)
     "dedup_simhash_pairs" -> ((s, dir) =>
-      SimHash.verifiedNearDupPairs(tbl(s, dir, "documents"), maxHamming = 4, minJaccard = 0.5)
+      SimHash.verifiedNearDupPairs(
+          tbl(s, dir, "documents").withColumn("text", expr(swapDupIn)),
+          maxHamming = 4, minJaccard = 0.5)
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))),
 
     "dedup_jaccard_pairs" -> ((s, dir) =>
-      MinHashLSH.verifiedPairs(tbl(s, dir, "documents"), minJaccard = 0.5)
+      MinHashLSH.verifiedPairs(
+          tbl(s, dir, "documents").withColumn("text", expr(nearDupIn)),
+          minJaccard = 0.5)
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))),
 
     // ================= similarity search =================
@@ -1159,15 +1198,17 @@ object SparkEntry {
       "ivf_topk" ->
         "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id % 100 = 0",
 
-      "dedup_jaccard_pairs" -> dedupJaccardOracle,
+      "dedup_jaccard_pairs" -> dedupJaccardOracle(nearDupIn),
 
-      // same exact ground truth: simhash(hamming<=4)+verify(J>=0.5) and
-      // minhash-LSH+verify both recover the planted-dup pair set exactly
-      "dedup_simhash_pairs" -> dedupJaccardOracle,
+      // same ground-truth SHAPE, but over the block-swap construction
+      // whose near pairs are hamming-0 by construction (see swapDupIn)
+      "dedup_simhash_pairs" -> dedupJaccardOracle(swapDupIn),
 
-      // and the embed->cluster->pairwise path recovers the same pair SET
+      // the embed->cluster->pairwise path recovers the exact J>=0.5
+      // pair SET of the raw corpus (planted near-dups separate cleanly
+      // in hashed-ngram space; see the entry comment)
       "emb_text_neardup" ->
-        s"SELECT src, dst FROM ($dedupJaccardOracle)",
+        s"SELECT src, dst FROM (${dedupJaccardOracle()})",
 
       // exact ground truth for the fuzzy-dedup removal set: in the exact
       // J >= 0.5 pair graph every dup group is a clique (planted dups are
@@ -1253,26 +1294,24 @@ object SparkEntry {
   private val urlReDuck =
     "'http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*\\(\\),]|(?:%[0-9a-fA-F][0-9a-fA-F]))+'"
 
-  /** dedup_jaccard_pairs oracle: EXACT all-pairs token-3-gram Jaccard in
-    * DuckDB (O(n²) — oracle-tier only), thresholded at 0.5. Valid as an
-    * equality oracle because the testdata separates planted dup pairs
-    * (J ≥ 0.9, where 20×13-band LSH recall ≈ 1) from natural pairs
-    * (J ≤ 0.07) — verified empirically: the candidate set equals the
-    * exact J ≥ 0.5 set at sf0.01. PINNED to the driver's gate scale:
-    * at sf0.001 one planted pair has token-J 0.99 but EDITS SPREAD
-    * ACROSS the doc, so its char-24-gram similarity (what MinHash
-    * actually sketches) is far lower and LSH misses it — a genuine
-    * sketch-metric difference, not a bug; the sf0.01 data keeps the
-    * two metrics aligned.
+  /** Exact all-pairs token-3-gram Jaccard in DuckDB (O(n²) —
+    * oracle-tier only), thresholded at 0.5, over `inputExpr`. With the
+    * constructed inputs (nearDupIn for MinHash, swapDupIn for SimHash)
+    * this is a scale-robust equality oracle: planted pairs sit at J = 1
+    * (sketch catch guaranteed by the identical-text collapse) and
+    * J ~ 0.98–0.99 (SimHash: hamming 0 by construction — guaranteed;
+    * MinHash: char-24-gram J ~ 0.94 -> per-pair LSH miss ~ 7e-6,
+    * deterministic), and every other doc-pair is at J = 0.
     */
-  private def dedupJaccardOracle: String = {
+  private def dedupJaccardOracle(inputExpr: String = "text"): String = {
     val ws = duckWords("lower(text)")
     s"""WITH g AS (
           SELECT doc_id,
                  list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
                    ELSE list_transform(range(1, len(ws) - 1),
                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS grams
-          FROM (SELECT doc_id, $ws AS ws FROM documents))
+          FROM (SELECT doc_id, $ws AS ws
+                FROM (SELECT doc_id, $inputExpr AS text FROM documents)))
         SELECT src, dst, round(inter / (la + lb - inter), 6) AS jaccard
         FROM (
           SELECT a.doc_id AS src, b.doc_id AS dst,

@@ -158,11 +158,60 @@ object MinHashLSH {
 
   /** Exact token-n-gram Jaccard verification of candidate pairs — joins
     * texts back only for candidates (tiny fraction of the corpus).
+    *
+    * Unlike [[candidateEdges]] (whose per-bucket CHAIN is enough for
+    * connectivity but under-reports pairs whenever three co-bucketed
+    * docs are mutually similar), the PAIRS contract needs every
+    * within-bucket pair. To keep that from exploding on identical-text
+    * cliques, docs are first collapsed to one representative per
+    * distinct text (md5 groups), the band self-join runs all-pairs over
+    * representatives only, and member×member pairs expand AFTER
+    * verification — the candidate stage stays linear in clique size
+    * while the (inherently quadratic) true-pair output is exact.
     */
   def verifiedPairs(df: DataFrame, p: Params = Params(), ngram: Int = 3,
                     minJaccard: Double = 0.8,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    verifyEdges(candidateEdges(df, p, idCol, textCol), df, ngram, minJaccard, idCol, textCol)
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // eager localCheckpoint: groups feeds the rep semi-join and both
+    // expansion consumers — a lazy cache() would recompute or pin
+    val groups = df
+      .groupBy(md5(to_binary(col(textCol), lit("utf-8"))).as("_th"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .localCheckpoint(true)
+    val reps = groups.select(col("ids").getItem(0).as(idCol))
+    val b = bands(signatures(df.join(reps, Seq(idCol), "left_semi"), p, idCol, textCol), p, idCol)
+    val candPairs = b.as("l").join(b.as("r"),
+        col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("src"), col(s"r.$idCol").as("dst"))
+      .distinct()
+    expandVerifiedGroups(
+      verifyEdges(candPairs, df, ngram, minJaccard, idCol, textCol), groups, minJaccard)
+  }
+
+  /** Expand verified representative pairs back to every group member:
+    * cross-group member pairs inherit the rep pair's jaccard (texts are
+    * identical within a group), intra-group pairs are J = 1.0 by
+    * construction. Shared by the MinHash and SimHash pairs paths.
+    */
+  private[dedup] def expandVerifiedGroups(repPairs: DataFrame, groups: DataFrame,
+                                          minJaccard: Double): DataFrame = {
+    val byRep = groups.select(col("ids").getItem(0).as("_rep"), col("ids"))
+    val cross = repPairs
+      .join(byRep.withColumnRenamed("ids", "_src_ids"), col("src") === col("_rep")).drop("_rep")
+      .join(byRep.withColumnRenamed("ids", "_dst_ids"), col("dst") === col("_rep")).drop("_rep")
+      .select(explode(col("_src_ids")).as("_a"), col("_dst_ids"), col("jaccard"))
+      .select(col("_a"), explode(col("_dst_ids")).as("_b"), col("jaccard"))
+      .select(least(col("_a"), col("_b")).as("src"),
+        greatest(col("_a"), col("_b")).as("dst"), col("jaccard"))
+    // intra-group pairs: identical texts -> J exactly 1.0 (output-bound)
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as src, y as dst))))")).as("p"))
+      .select(col("p.src"), col("p.dst"), lit(1.0).as("jaccard"))
+      .filter(lit(minJaccard) <= 1.0)
+    cross.union(intra)
+  }
 
   /** Shared verify step for any sketch's candidate edges (MinHash bands,
     * SimHash bands, …): join texts back ONLY for the candidates and keep

@@ -84,17 +84,8 @@ object SimHash {
     // eager localCheckpoint: the banded view self-joins (two consumers);
     // a lazy cache() would stay pinned with no unpersist point
     val fp = fingerprints(df, idCol, textCol).localCheckpoint(true)
-    val banded = fp.select(
-      col(idCol).as("id"), col("simhash"), bandStructs(maxHamming).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
-    val ham = udf((a: Long, b: Long) => hamming(a, b))
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("src"), col("r.id").as("dst"),
-        ham(col("l.simhash"), col("r.simhash")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    bandedCandidates(fp.select(col(idCol).as("id"), col("simhash")),
+      maxHamming, keepHamming = true)
   }
 
   /** Removal ids via connected components over near-dup pairs.
@@ -127,57 +118,40 @@ object SimHash {
                            ngram: Int = 3, idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
     val fpU = udf((t: String) => if (t == null) 0L else simhash64(t))
-    // eager localCheckpoint: groups feeds reps, cross-expansion (twice)
-    // and intra-expansion — four consumers of one aggregation
+    // eager localCheckpoint: groups feeds reps and both expansion
+    // consumers — a lazy cache() would recompute the fingerprint UDF
     val groups = df
       .select(col(idCol), md5(to_binary(col(textCol), lit("utf-8"))).as("_th"),
         fpU(col(textCol)).as("simhash"))
       .groupBy("simhash", "_th")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .localCheckpoint(true)
-    val byRep = groups.select(col("ids").getItem(0).as("_rep"), col("ids"))
 
     val repPairs = MinHashLSH.verifyEdges(
       bandedCandidates(groups.select(col("ids").getItem(0).as("id"), col("simhash")), maxHamming),
       df, ngram, minJaccard, idCol, textCol)
 
-    // cross-group expansion: every member pair inherits the verified
-    // rep-pair jaccard (texts identical within a group)
-    val cross = repPairs
-      .join(byRep.withColumnRenamed("ids", "_src_ids"), col("src") === col("_rep")).drop("_rep")
-      .join(byRep.withColumnRenamed("ids", "_dst_ids"), col("dst") === col("_rep")).drop("_rep")
-      .select(explode(col("_src_ids")).as("_a"), col("_dst_ids"), col("jaccard"))
-      .select(col("_a"), explode(col("_dst_ids")).as("_b"), col("jaccard"))
-      .select(least(col("_a"), col("_b")).as("src"),
-        greatest(col("_a"), col("_b")).as("dst"), col("jaccard"))
-
-    // intra-group pairs: identical texts -> J exactly 1.0 (output-bound)
-    val intra = groups.filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as src, y as dst))))")).as("p"))
-      .select(col("p.src"), col("p.dst"), lit(1.0).as("jaccard"))
-      .filter(lit(minJaccard) <= 1.0)
-
-    cross.union(intra)
+    MinHashLSH.expandVerifiedGroups(repPairs, groups, minJaccard)
   }
 
   /** Banded Hamming candidate pairs over (id, simhash) rows — the
-    * pigeonhole self-join, factored out so callers can run it over
-    * clique representatives.
+    * pigeonhole self-join, shared by every pair path (run it over
+    * clique representatives to keep candidates clique-free).
     */
-  private[dedup] def bandedCandidates(fp: DataFrame, maxHamming: Int): DataFrame = {
+  private[dedup] def bandedCandidates(fp: DataFrame, maxHamming: Int,
+                                      keepHamming: Boolean = false): DataFrame = {
     val banded = fp.select(
       col("id"), col("simhash"), bandStructs(maxHamming).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
     val ham = udf((a: Long, b: Long) => hamming(a, b))
-    banded.as("l").join(banded.as("r"),
+    val pairs = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("src"), col("r.id").as("dst"),
         ham(col("l.simhash"), col("r.simhash")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .select(col("src"), col("dst"))
+    if (keepHamming) pairs else pairs.select(col("src"), col("dst"))
   }
 
   def removalIds(df: DataFrame, maxHamming: Int = 3,
