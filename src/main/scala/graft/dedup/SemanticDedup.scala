@@ -57,7 +57,16 @@ object SemanticDedup {
     */
   val MaxCellSize = 4096
 
-  /** k grown with the corpus: at least `k`, at least n/targetCellSize. */
+  /** k grown with the corpus: at least `k`, at least n/targetCellSize.
+    * The FIT silently caps k at its sample count ([[FitSampleCap]] —
+    * you cannot place more centroids than samples), so above
+    * FitSampleCap × targetCellSize docs (~51M at the defaults) cells
+    * average larger than targetCellSize; the [[MaxCellSize]] hash
+    * sub-split is the guardrail that keeps the pairwise tier bounded
+    * there. KMeansLite fits large k two-level (√k coarse + per-cell
+    * sub-fits, parallel across driver cores), so the driver fit stays
+    * O(n·√k·dim), never quadratic in the sample.
+    */
   def autoK(n: Long, k: Int, targetCellSize: Int = TargetCellSize): Int =
     math.max(k.toLong, (n + targetCellSize - 1) / targetCellSize)
       .min(Int.MaxValue).toInt
@@ -86,13 +95,17 @@ object SemanticDedup {
 
   /** Assign a kmeans cluster per embedding, with k auto-grown from the
     * corpus size ([[autoK]]). One count + one full pass (transform);
-    * the model comes from [[fitModel]]'s bounded sample.
+    * the model comes from [[fitModel]]'s bounded sample. The input is
+    * materialized once (localCheckpoint) — count, fit sample and
+    * assignment would otherwise each re-evaluate an upstream embedder
+    * UDF (same discipline as [[withBlocks]]).
     */
   def withClusters(df: DataFrame, k: Int, seed: Long = 42,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    targetCellSize: Int = TargetCellSize): DataFrame = {
-    val kEff = autoK(df.count(), k, targetCellSize)
-    assign(df, fitModel(df, kEff, seed, vecCol), vecCol)
+    val mat = df.localCheckpoint(true)
+    val kEff = autoK(mat.count(), k, targetCellSize)
+    assign(mat, fitModel(mat, kEff, seed, vecCol), vecCol)
   }
 
   private def assign(df: DataFrame, model: KMeansLite.Model, vecCol: String,
