@@ -48,13 +48,34 @@ object CommonCrawlApp {
       }
   }
 
-  /** Plain HTTP fetcher for cluster deploys (never called in-sandbox). */
+  /** Plain HTTP fetcher for small driver-side listings (collinfo,
+    * warc.paths.gz) on cluster deploys — never called in-sandbox.
+    * Non-200 responses fail loudly instead of parsing an error body.
+    */
   def httpFetch: String => Array[Byte] = url => {
     val conn = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(120000)
+    val code = conn.getResponseCode
+    require(code == 200, s"HTTP $code for $url")
     val in = conn.getInputStream
-    try in.readAllBytes() finally in.close()
+    try in.readAllBytes() finally { in.close(); conn.disconnect() }
+  }
+
+  /** Streaming HTTP fetcher for WARC shard downloads (cluster deploys):
+    * copies network → file in chunks, so a ~1 GiB shard never
+    * materializes in executor memory.
+    */
+  def httpStreamFetch: (String, java.io.OutputStream) => Unit = (url, out) => {
+    val conn = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    val code = conn.getResponseCode
+    require(code == 200, s"HTTP $code for $url")
+    val in = conn.getInputStream
+    try in.transferTo(out) finally { in.close(); conn.disconnect() }
   }
 
   /** The composed pipeline, callable from tests: returns the curated
@@ -62,19 +83,27 @@ object CommonCrawlApp {
     */
   def run(spark: SparkSession, startSnapshot: String, endSnapshot: String,
           downloadDir: String, outDir: String,
-          fetch: String => Array[Byte], limit: Option[Int] = None): DataFrame = {
+          fetch: String => Array[Byte], limit: Option[Int] = None,
+          streamFetch: Option[(String, java.io.OutputStream) => Unit] = None): DataFrame = {
     val snapshotIds = CCUrls.parseCollinfoIds(
       new String(fetch("https://index.commoncrawl.org/collinfo.json"), "UTF-8"))
     val pathUrls = CCUrls.mainPathUrls(startSnapshot, endSnapshot, snapshotIds)
     val dataUrls = CCUrls.generateDataUrls(pathUrls, fetch, limit)
 
-    val downloader = new WarcDownloader(downloadDir, fetch)
+    // shard downloads stream network -> file when a streaming fetcher
+    // is wired (cluster deploys); the byte fetcher is the fixture seam
+    val downloader = streamFetch.map(new WarcDownloader(downloadDir, _))
+      .getOrElse(new WarcDownloader(downloadDir, fetch))
     // one action drives all downloads; resume = skip-if-exists per file
     val downloaded = downloader.downloadAll(
       WarcDownloader.urlDataset(spark, dataUrls, partitions = math.max(1, dataUrls.size)))
-    val nFiles = downloaded.count()
+    // driver-side file list: same metadata scale as dataUrls (one path
+    // per shard), and scoping the curation to EXACTLY the files this
+    // run downloaded keeps stale files in a shared downloadDir out
+    val localPaths = downloaded.select("local_path").collect().map(_.getString(0)).toSeq
+    val nFiles = localPaths.size
 
-    val records = WarcParser.read(spark, downloadDir)
+    val records = WarcParser.read(spark, localPaths)
     val extracted = new CommonCrawlExtractor().extractColumns(records, htmlCol = "content")
     val curated = CurationPipeline.keptOutput(
       CurationPipeline.curate(extracted.drop("warc_id", "source_id")))
@@ -94,7 +123,8 @@ object CommonCrawlApp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fetch = if (fixture) fixtureFetch(spark) else httpFetch
-    run(spark, args(0), args(1), args(2), args(3), fetch, limit)
+    val streamFetch = if (fixture) None else Some(httpStreamFetch)
+    run(spark, args(0), args(1), args(2), args(3), fetch, limit, streamFetch)
     spark.stop()
   }
 }

@@ -66,33 +66,35 @@ object ArxivSource {
     Some(out.result())
   }
 
-  /** Monthly tar bytes → (id, content files) rows (iterator.py:iterate). */
-  def iterate(tarBytes: Array[Byte]): Seq[(String, Seq[String])] = {
-    val tin = new TarArchiveInputStream(new ByteArrayInputStream(tarBytes))
-    val out = Seq.newBuilder[(String, Seq[String])]
-    var entry = tin.getNextEntry
-    while (entry != null) {
+  /** Monthly tar STREAM → lazy (id, content files) records
+    * (iterator.py:iterate). Only one paper's `.gz` (MB-scale) is ever
+    * in memory; the multi-GB monthly tar itself streams through.
+    */
+  def iterateStream(in: java.io.InputStream): Iterator[(String, Seq[String])] = {
+    val tin = new TarArchiveInputStream(in)
+    Iterator.continually(tin.getNextEntry).takeWhile(_ != null).flatMap { entry =>
       if (!entry.isDirectory && entry.getName.endsWith(".gz")) {
         val base = entry.getName.split('/').last.stripSuffix(".gz")
         val id = try formatArxivId(base) catch { case _: Exception => base }
-        texProjectFiles(readAll(tin)).foreach(files => out += ((id, files)))
-      }
-      entry = tin.getNextEntry
+        texProjectFiles(readAll(tin)).map(files => (id, files))
+      } else None
     }
-    out.result()
   }
 
-  /** Directory of monthly tars → rows (id, source_id, content). */
+  /** In-memory convenience over [[iterateStream]] (tests/fixtures). */
+  def iterate(tarBytes: Array[Byte]): Seq[(String, Seq[String])] =
+    iterateStream(new ByteArrayInputStream(tarBytes)).toSeq
+
+  /** Directory of monthly tars → rows (id, source_id, content) — one
+    * streaming task per tar ([[ArchiveIO.perFile]]: no whole-archive
+    * byte array, no 2 GB binaryFile row ceiling).
+    */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        val bname = p.split('/').last
-        iterate(bytes).map { case (id, files) => (id, bname, files) }
-      }
-      .toDF("id", "source_id", "content")
+    ArchiveIO.perFile(spark, path) { (p, in) =>
+      val bname = p.split('/').last
+      iterateStream(in).map { case (id, files) => (id, bname, files) }
+    }.toDF("id", "source_id", "content")
   }
 
   // ---------------- extraction (extract.py, RedPajama-derived) ----------------

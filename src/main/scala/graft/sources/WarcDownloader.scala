@@ -11,15 +11,23 @@ import org.apache.spark.sql.functions._
   * non-empty (resume), fetch into a `.tmp` sibling, ATOMIC rename into
   * place on success, drop the URL on failure.
   *
-  * The byte transfer itself is an injected `fetch: String => Array[Byte]`
-  * (this sandbox has zero egress; a deployment passes an http/s3
-  * fetcher — same injection seam as [[CCUrls]]). The Spark shape is a
-  * `mapPartitions` over a URL dataset so downloads scale with executors
-  * and the per-partition concurrency bounds network fan-out (the
-  * reference's num_workers_per_node knob = partition count here).
+  * The byte transfer itself is an injected
+  * `fetchTo: (url, OutputStream) => Unit` (this sandbox has zero
+  * egress; a deployment passes an http/s3 fetcher — same injection
+  * seam as [[CCUrls]]). STREAMING by contract: a real CC WARC shard is
+  * ~1 GiB, so the fetcher copies network → temp file in chunks and the
+  * executor never holds a shard in memory (the whole-`Array[Byte]`
+  * constructor remains for small fixture payloads). The Spark shape is
+  * a `mapPartitions` over a URL dataset so downloads scale with
+  * executors and the per-partition concurrency bounds network fan-out
+  * (the reference's num_workers_per_node knob = partition count here).
   */
 final class WarcDownloader(downloadDir: String,
-                           fetch: String => Array[Byte]) extends Serializable {
+                           fetchTo: (String, java.io.OutputStream) => Unit) extends Serializable {
+
+  /** In-memory fetcher adapter — fixture/test payloads only. */
+  def this(downloadDir: String, fetch: String => Array[Byte]) =
+    this(downloadDir, (url: String, out: java.io.OutputStream) => out.write(fetch(url)))
 
   /** common_crawl/download.py:45-47 — `urlparse(url).path[1:]` with
     * '/' replaced by '-'.
@@ -39,7 +47,8 @@ final class WarcDownloader(downloadDir: String,
     if (Files.exists(out) && Files.size(out) > 0) return Some(out.toString)
     val tmp = Paths.get(out.toString + ".tmp")
     try {
-      Files.write(tmp, fetch(url))
+      val os = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
+      try fetchTo(url, os) finally os.close()
       Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
       Some(out.toString)
     } catch {

@@ -78,9 +78,15 @@ object WarcParser {
     }
 
   /** Directory of WARC files → rows (url, warc_id, source_id, content). */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame = read(spark, Seq(path))
+
+  /** Explicit WARC file list → rows — the acquisition flow passes the
+    * exact files IT downloaded, so stale files from a previous run (or
+    * another snapshot window) sharing the directory never leak in.
+    */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>

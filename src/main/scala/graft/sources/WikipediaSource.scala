@@ -45,67 +45,90 @@ object WikipediaSource {
   final case class Article(title: String, id: String, url: String,
                            language: String, sourceId: String, rawContent: String)
 
-  /** MediaWiki XML (bz2 'BZh' or plain) → main-namespace non-redirect
-    * articles (iterator.py:iterate).
+  /** MediaWiki XML STREAM (bz2 'BZh' — including concatenated
+    * multistream dumps — or plain) → lazy main-namespace non-redirect
+    * article records (iterator.py:iterate). Only the current page's
+    * text is ever in memory; a multi-GB dump part streams through.
     */
-  def iterate(bytes: Array[Byte], language: String, sourceId: String): Seq[Article] = {
+  def iterateStream(rawIn: java.io.InputStream, language: String,
+                    sourceId: String): Iterator[Article] = {
+    val buf = new java.io.BufferedInputStream(rawIn)
+    buf.mark(4)
+    val magic = new Array[Byte](3)
+    val nRead = buf.read(magic)
+    buf.reset()
     val in =
-      if (bytes.length > 3 && bytes(0) == 'B' && bytes(1) == 'Z' && bytes(2) == 'h')
-        new BZip2CompressorInputStream(new ByteArrayInputStream(bytes))
-      else new ByteArrayInputStream(bytes)
+      if (nRead == 3 && magic(0) == 'B' && magic(1) == 'Z' && magic(2) == 'h')
+        // decompressConcatenated: the articlesmultistream dumps are
+        // many back-to-back bz2 streams (100 pages each) in one file
+        new BZip2CompressorInputStream(buf, true)
+      else buf
     val f = javax.xml.stream.XMLInputFactory.newInstance()
     f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
     val r = f.createXMLStreamReader(in, "UTF-8")
-    val out = Seq.newBuilder[Article]
 
-    var title: String = null; var ns: String = null; var id: String = null
-    var redirect = false; var text: String = null
-    var inPage = false; var inRevision = false; var depthId = 0
+    new Iterator[Article] {
+      private var title: String = null; private var ns: String = null; private var id: String = null
+      private var redirect = false; private var text: String = null
+      private var inPage = false; private var inRevision = false; private var depthId = 0
+      private var pending: Article = null
+      private var done = false
 
-    def localName: String = r.getLocalName
-    while (r.hasNext) {
-      r.next() match {
-        case javax.xml.stream.XMLStreamConstants.START_ELEMENT => localName match {
-          case "page" => inPage = true; title = null; ns = null; id = null; redirect = false; text = null; depthId = 0
-          case "revision" if inPage => inRevision = true
-          case "redirect" if inPage => redirect = true
-          case "title" if inPage && !inRevision => title = r.getElementText
-          case "ns" if inPage && !inRevision => ns = r.getElementText
-          // the PAGE id is the first <id> outside <revision>
-          case "id" if inPage && !inRevision && depthId == 0 => id = r.getElementText; depthId += 1
-          case "text" if inRevision => text = r.getElementText
-          case _ =>
-        }
-        case javax.xml.stream.XMLStreamConstants.END_ELEMENT => localName match {
-          case "revision" => inRevision = false
-          case "page" =>
-            inPage = false
-            if (title != null && ns == "0" && id != null && !redirect && text != null) {
-              val url = s"https://$language.wikipedia.org/wiki/" +
-                java.net.URLEncoder.encode(title, "UTF-8").replace("+", "%20")
-              out += Article(title, id, url, language, sourceId, text)
+      private def advance(): Unit = {
+        while (pending == null && !done) {
+          if (!r.hasNext) { done = true; r.close() }
+          else r.next() match {
+            case javax.xml.stream.XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+              case "page" => inPage = true; title = null; ns = null; id = null; redirect = false; text = null; depthId = 0
+              case "revision" if inPage => inRevision = true
+              case "redirect" if inPage => redirect = true
+              case "title" if inPage && !inRevision => title = r.getElementText
+              case "ns" if inPage && !inRevision => ns = r.getElementText
+              // the PAGE id is the first <id> outside <revision>
+              case "id" if inPage && !inRevision && depthId == 0 => id = r.getElementText; depthId += 1
+              case "text" if inRevision => text = r.getElementText
+              case _ =>
             }
-          case _ =>
+            case javax.xml.stream.XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+              case "revision" => inRevision = false
+              case "page" =>
+                inPage = false
+                if (title != null && ns == "0" && id != null && !redirect && text != null) {
+                  val url = s"https://$language.wikipedia.org/wiki/" +
+                    java.net.URLEncoder.encode(title, "UTF-8").replace("+", "%20")
+                  pending = Article(title, id, url, language, sourceId, text)
+                }
+              case _ =>
+            }
+            case _ =>
+          }
         }
-        case _ =>
+      }
+
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): Article = {
+        advance()
+        if (pending == null) throw new NoSuchElementException("end of dump")
+        val a = pending; pending = null; a
       }
     }
-    r.close()
-    out.result()
   }
 
-  /** Directory of dump files → article rows. */
+  /** In-memory convenience over [[iterateStream]] (tests/fixtures). */
+  def iterate(bytes: Array[Byte], language: String, sourceId: String): Seq[Article] =
+    iterateStream(new ByteArrayInputStream(bytes), language, sourceId).toSeq
+
+  /** Directory of dump files → article rows — one streaming task per
+    * dump part ([[ArchiveIO.perFile]]: no whole-dump byte array, no
+    * 2 GB binaryFile row ceiling).
+    */
   def read(spark: SparkSession, path: String, language: String = "en"): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        iterate(bytes, language, p.split('/').last)
-          .map(a => (a.title, a.id, a.url, a.language, a.sourceId, a.rawContent))
-      }
-      .toDF("title", "id", "url", "language", "source_id", "raw_content")
+    ArchiveIO.perFile(spark, path) { (p, in) =>
+      iterateStream(in, language, p.split('/').last)
+        .map(a => (a.title, a.id, a.url, a.language, a.sourceId, a.rawContent))
+    }.toDF("title", "id", "url", "language", "source_id", "raw_content")
   }
 
   // ---------------- wikitext-lite extraction ----------------

@@ -28,11 +28,18 @@ class CommonCrawlAppSpec extends AnyFunSuite {
     assert(curated.filter(col("language").isNull || col("text") === "").count() == 0)
 
     // resume: second run re-downloads nothing (skip-if-exists) and
-    // produces the identical output
+    // produces the identical output — even with a STALE warc from some
+    // other run sharing the download dir (curation scopes to exactly
+    // the files THIS run's url list resolves to)
     val mtimes = new java.io.File(dl).listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val stale = new java.io.File(dl, "stale-other-snapshot.warc.gz")
+    java.nio.file.Files.write(stale.toPath, graft.sources.WarcParser.buildWarc(
+      Seq(("http://stale.example.com/x", "<html><body>stale leftover page</body></html>".getBytes("UTF-8")))))
     val again = CommonCrawlApp.run(spark, "2023-14", "2023-14", dl, out, fetch)
     assert(again.count() == kept)
-    new java.io.File(dl).listFiles().foreach(f =>
+    assert(again.filter(col("url") === "http://stale.example.com/x").count() == 0,
+      "stale warc from a prior run leaked into the curated output")
+    new java.io.File(dl).listFiles().filter(_.getName != stale.getName).foreach(f =>
       assert(f.lastModified() == mtimes(f.getName), s"${f.getName} was re-downloaded"))
   }
 }
