@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>).
@@ -14,8 +13,9 @@ import org.apache.spark.sql.functions._
   *     bucketing: corpus and queries hash to signatures; candidates =
   *     same-bucket rows across several hash tables; exact re-rank within
   *     candidates. The scale path: shuffles only (bucket, id) pairs.
-  *   - [[ivfTopK]] — IVF-style: spherical centroids via ml.KMeans over a
-  *     sample; candidates = rows in the nProbe nearest cells.
+  *   - [[ivfTopK]] — IVF-style: spherical centroids via a bounded
+  *     driver-side KMeansLite fit; candidates = rows in the nProbe
+  *     nearest cells.
   */
 object Knn {
 
@@ -55,21 +55,31 @@ object Knn {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.GraftSqlBridge
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-    // struct(-sim, id) ascending == (sim desc, id asc) — the same
-    // deterministic order the window rank used
-    val scored = c.crossJoin(q)
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosineCol(col("_cv"), col("_qv")))
-      .select(col("query_id"),
-        struct((-col("sim")).as("negsim"),
-          col("neighbor_id").cast("long").as("neighbor_id")).as("_t"))
+    topKPerQuery(
+      c.crossJoin(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosineCol(col("_cv"), col("_qv"))), k)
+  }
+
+  /** Bounded per-query top-k over (query_id, neighbor_id, sim) rows via
+    * the [[graft.functions.TopKPairs]] TypedImperativeAggregate: partial
+    * buffers cap at k, so the one shuffle carries k rows per query per
+    * mapper — never the full candidate set into a one-partition-per-
+    * query window sort. struct(-sim, id) ascending == (sim desc, id
+    * asc), the same deterministic order a window rank would use. Ids
+    * must be integral (they ride the aggregate as long).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val t = scored.select(col("query_id"),
+      struct((-col("sim")).as("negsim"),
+        col("neighbor_id").cast("long").as("neighbor_id")).as("_t"))
     val topk = GraftSqlBridge.column(
       graft.functions.TopKPairs(GraftSqlBridge.expression(col("_t")), k)
         .toAggregateExpression())
-    scored.groupBy("query_id").agg(topk.as("_top"))
+    t.groupBy("query_id").agg(topk.as("_top"))
       .select(col("query_id"), posexplode(col("_top")).as(Seq("_i", "_t")))
       .select(col("query_id"), col("_t.neighbor_id").as("neighbor_id"),
         (-col("_t.negsim")).as("sim"), (col("_i") + 1).as("rank"))
@@ -128,12 +138,9 @@ object Knn {
       .distinct()
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    candidates.join(cv, "neighbor_id").join(qv, "query_id")
-      .withColumn("sim", cosineCol(col("_cv"), col("_qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(
+      candidates.join(cv, "neighbor_id").join(qv, "query_id")
+        .withColumn("sim", cosineCol(col("_cv"), col("_qv"))), k)
   }
 
   /** IVF-style ANN: KMeans centroids over the corpus (spherical via L2
@@ -163,13 +170,13 @@ object Knn {
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("cell", explode(probeUdf(col("_qv")))))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    assigned.join(q, "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosineCol(col("_cv"), col("_qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+    // each corpus row lives in exactly ONE cell (predict, not
+    // predictTop), so the probe join emits a neighbor at most once per
+    // query — no dedup needed ahead of the bounded top-k
+    topKPerQuery(
+      assigned.join(q, "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("sim", cosineCol(col("_cv"), col("_qv"))), k)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
