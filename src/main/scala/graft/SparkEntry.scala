@@ -112,11 +112,14 @@ object SparkEntry {
   // to sf0.01). Per decade g: doc g+2 = 96 unique template words,
   // g+7 = exact copy (SimHash hamming 0, MinHash all bands equal —
   // guaranteed catch), g+3 = copy + one appended word (token-3-gram
-  // J = 94/95 ~ 0.989; char-24-gram J ~ 0.94 -> per-pair LSH miss
-  // probability ~ 7e-6, and the whole construction is deterministic —
-  // verified green at sf0.001/0.01/0.1). All other docs get globally
-  // unique words, so the exact J >= 0.5 pair set is EXACTLY the
-  // planted 3 pairs per decade.
+  // J = 94/95 ~ 0.989; char-24-gram J ~ 0.992 since only the ~6
+  // appended-tail shingles differ -> per-pair 20x13-band LSH miss
+  // probability (1-J^13)^20 ~ 1e-20, and the whole construction is
+  // deterministic — verified green at sf0.001/0.01/0.1; this entry is
+  // what exposed the small-`a` permutation bias fixed in
+  // MinHashLSH.coefficients). All other docs get globally unique
+  // words, so the exact J >= 0.5 pair set is EXACTLY the planted 3
+  // pairs per decade.
   private val ndTemplate =
     (0 until 96).map(i => s"t${('a' + i / 26).toChar}${('a' + i % 26).toChar}#").mkString(" ")
   private val nearDupIn =
@@ -1300,7 +1303,7 @@ object SparkEntry {
     * this is a scale-robust equality oracle: planted pairs sit at J = 1
     * (sketch catch guaranteed by the identical-text collapse) and
     * J ~ 0.98–0.99 (SimHash: hamming 0 by construction — guaranteed;
-    * MinHash: char-24-gram J ~ 0.94 -> per-pair LSH miss ~ 7e-6,
+    * MinHash: char-24-gram J ~ 0.992 -> per-pair LSH miss ~ 1e-20,
     * deterministic), and every other doc-pair is at J = 0.
     */
   private def dedupJaccardOracle(inputExpr: String = "text"): String = {

@@ -33,17 +33,36 @@ object MinHashLSH {
   }
 
   /** Driver-side deterministic permutation coefficients (broadcast via
-    * closure — a few KB). `a` is bounded to 2^30 so `a*h + b` with a
-    * 32-bit shingle hash stays below 2^63 — exact arithmetic, enabling
-    * the branch-light Mersenne-prime reduction in the hot loop (the
-    * usual `%` both costs ~5x more and would silently overflow for
-    * unbounded a).
+    * closure — a few KB). `a`/`b` are FULL-RANGE mod the Mersenne
+    * prime: a small-`a` family ((a·h+b) with a ≤ 2^30 and 32-bit
+    * shingle hashes) never wraps the modulus for small h, so the
+    * smallest FNV hash in a document systematically wins the min for a
+    * large fraction of permutations AT ONCE — one unlucky new shingle
+    * then flips ~30% of the signature and every band together
+    * (observed: a J=0.992 pair with 0/20 equal bands). Full-range `a`
+    * with an exact 122-bit Mersenne modmul ([[mulmodM]]) restores
+    * pairwise-independent permutations: per-permutation agreement
+    * concentrates at J and band recall follows the standard
+    * 1-(1-J^r)^b curve.
     */
   def coefficients(p: Params): (Array[Long], Array[Long]) = {
     val rng = new java.util.Random(p.seed)
-    val a = Array.fill(p.numPerm)({ val v = math.abs(rng.nextLong()) % ((1L << 30) - 1); v + 1 })
+    val a = Array.fill(p.numPerm)({ val v = math.abs(rng.nextLong()) % (MERSENNE_PRIME - 1); v + 1 })
     val b = Array.fill(p.numPerm)(math.abs(rng.nextLong()) % MERSENNE_PRIME)
     (a, b)
+  }
+
+  /** a*h mod (2^61-1) for 0 <= a, h < 2^61, exact via the 128-bit
+    * product (multiplyHigh intrinsic): with p = 2^61-1, 2^64 ≡ 8, so
+    * hi·2^64 + lo ≡ 8·hi + (lo >>> 61) + (lo & p). hi < 2^58 keeps
+    * (hi << 3) | (lo >>> 61) overlap-free and the fold below 2^62.
+    */
+  @inline private def mulmodM(a: Long, h: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    var r = (lo & MERSENNE_PRIME) + ((hi << 3) | (lo >>> 61))
+    r = (r & MERSENNE_PRIME) + (r >>> 61)
+    if (r >= MERSENNE_PRIME) r - MERSENNE_PRIME else r
   }
 
   /** x mod (2^61 - 1) for 0 <= x < 2^63. */
@@ -77,7 +96,7 @@ object MinHashLSH {
     def update(h: Long): Unit = {
       var j = 0
       while (j < k) {
-        val v = mersenneMod(a(j) * h + b(j))
+        val v = mersenneMod(mulmodM(a(j), h) + b(j))
         if (v < sig(j)) sig(j) = v
         j += 1
       }
