@@ -509,8 +509,13 @@ object SparkEntry {
         tbl(s, dir, "documents").withColumn("text", expr(exactDupIn)))
         .select("doc_id")),
 
+    // constructed corpus (see nearDupIn): the exact J>=0.5 dup graph is
+    // the planted per-decade cliques at every scale, so the full
+    // LSH -> connected-components -> keep-first path has a scale-robust
+    // equality oracle (raw-corpus pairs near the boundary sat in the
+    // LSH recall gap at scales other than sf0.01)
     "dedup_minhash_ids" -> ((s, dir) =>
-      MinHashLSH.removalIds(tbl(s, dir, "documents"))),
+      MinHashLSH.removalIds(tbl(s, dir, "documents").withColumn("text", expr(nearDupIn)))),
 
     // LM sanity gate: average word-perplexity on the training half must
     // beat the held-out half by 2x (observed 11.5 vs 38.8 at sf0.01) —
@@ -1225,7 +1230,8 @@ object SparkEntry {
                      list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
                        ELSE list_transform(range(1, len(ws) - 1),
                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS grams
-              FROM (SELECT doc_id, $ws AS ws FROM documents))
+              FROM (SELECT doc_id, $ws AS ws
+                    FROM (SELECT doc_id, $nearDupIn AS text FROM documents)))
             SELECT DISTINCT b.doc_id FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                   (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5"""
