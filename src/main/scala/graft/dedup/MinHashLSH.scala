@@ -90,30 +90,41 @@ object MinHashLSH {
   def signature(text: String, p: Params, a: Array[Long], b: Array[Long]): Array[Long] = {
     val t = PyText.lower(text)
     val k = p.numPerm
-    val sig = Array.fill(k)(Long.MaxValue)
     val n = p.charNgrams
 
-    def update(h: Long): Unit = {
-      var j = 0
-      while (j < k) {
-        val v = mersenneMod(mulmodM(a(j), h) + b(j))
-        if (v < sig(j)) sig(j) = v
-        j += 1
+    // distinct shingle hashes first (repeated shingles can't change a
+    // min), then a permutation-major loop: a(j)/b(j)/running-min stay
+    // in registers across the shingle scan instead of re-reading three
+    // arrays per (shingle, permutation) pair — ~2x on long docs.
+    val hs: Array[Long] =
+      if (t.length < n) Array(shingleHash(t + " ", 0, t.length + 1)) // short doc: one whole-text shingle
+      else {
+        val seen = new java.util.HashSet[java.lang.Long](256)
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        var i = 0
+        val limit = t.length - n
+        while (i <= limit) {
+          val h = shingleHash(t, i, n)
+          if (seen.add(h)) buf += h
+          i += 1
+        }
+        buf.result()
       }
-    }
 
-    if (t.length < n) {
-      // short doc: single shingle of the whole text
-      update(shingleHash(t + " ", 0, t.length + 1))
-      return sig
-    }
-    val seen = new java.util.HashSet[java.lang.Long](256)
-    var i = 0
-    val limit = t.length - n
-    while (i <= limit) {
-      val h = shingleHash(t, i, n)
-      if (seen.add(h)) update(h)
-      i += 1
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val aj = a(j)
+      val bj = b(j)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = mersenneMod(mulmodM(aj, hs(i)) + bj)
+        if (v < m) m = v
+        i += 1
+      }
+      sig(j) = m
+      j += 1
     }
     sig
   }
