@@ -122,11 +122,19 @@ object SparkEntry {
   // pairs per decade.
   private val ndTemplate =
     (0 until 96).map(i => s"t${('a' + i / 26).toChar}${('a' + i % 26).toChar}#").mkString(" ")
+  // non-planted docs use a STRUCTURALLY distinct template ('k…w' words)
+  // plus a per-doc-unique replacement: token n-grams never overlap the
+  // planted groups (exact J = 0) AND the hashed char-ngram embedding
+  // stays far from them (max cosine 0.68 vs the 0.95 near-dup gate —
+  // with the shared template, 'taau1250' vs 'taa1250' differed by one
+  // char per word and crossed 0.95)
+  private val ndTemplateElse =
+    (0 until 96).map(i => s"k${('a' + i / 26).toChar}${('a' + i % 26).toChar}w#").mkString(" ")
   private val nearDupIn =
     s"""CASE WHEN doc_id % 10 = 2 THEN replace('$ndTemplate', '#', cast(doc_id - 2 as string))
              WHEN doc_id % 10 = 3 THEN replace('$ndTemplate', '#', cast(doc_id - 3 as string)) || ' xtail'
              WHEN doc_id % 10 = 7 THEN replace('$ndTemplate', '#', cast(doc_id - 7 as string))
-             ELSE replace('$ndTemplate', '#', 'u' || cast(doc_id as string)) END"""
+             ELSE replace('$ndTemplateElse', '#', 'u' || cast(doc_id as string)) END"""
   // simhash pair input: the near member is a BLOCK SWAP of its base —
   // 'zs A zs B zs' and 'zs B zs A zs' have identical word-unigram AND
   // word-bigram multisets, so their 64-bit simhash (built from exactly
@@ -586,10 +594,21 @@ object SparkEntry {
     // near-dup texts separate cleanly in hashed-ngram space (pair
     // cosine >= 0.979 vs <= 0.916 natural), so the recovered pair set
     // equals the exact token-Jaccard ground truth the oracle computes
+    // constructed corpus (see nearDupIn): planted pairs embed at
+    // cosine ≥ 0.9999 (hashed char-ngram space) while the most similar
+    // non-planted pair sits ≤ 0.85 — a deterministic margin around the
+    // 0.95 gate at every scale, so the embed → cluster → pairwise path
+    // has the same scale-robust equality oracle as the sketch tiers
+    // (raw-text runs diverge at sf0.1 where hashed-ngram cosine and
+    // token-Jaccard disagree near their thresholds — CheckPairs)
     "emb_text_neardup" -> ((s, dir) => {
-      val emb = graft.sim.HashEmbedder.withEmbedding(tbl(s, dir, "documents"))
+      val emb = graft.sim.HashEmbedder.withEmbedding(
+          tbl(s, dir, "documents").withColumn("text", expr(nearDupIn)))
         .select("doc_id", "embedding")
-      graft.dedup.SemanticDedup.nearDupPairs(emb, k = 8, eps = 0.05, idCol = "doc_id")
+      // probes=2: a cosine-0.9999 pair can still straddle a KMeans cell
+      // boundary under single-probe blocking (observed once at sf0.1);
+      // top-2 cells per point make a shared block certain at this margin
+      graft.dedup.SemanticDedup.nearDupPairs(emb, k = 8, eps = 0.05, idCol = "doc_id", probes = 2)
         .select("src", "dst")
     }),
 
@@ -1213,10 +1232,10 @@ object SparkEntry {
       "dedup_simhash_pairs" -> dedupJaccardOracle(swapDupIn),
 
       // the embed->cluster->pairwise path recovers the exact J>=0.5
-      // pair SET of the raw corpus (planted near-dups separate cleanly
-      // in hashed-ngram space; see the entry comment)
+      // pair SET of the constructed corpus (planted pairs at cosine
+      // ~1 vs <=0.85 for everything else; see the entry comment)
       "emb_text_neardup" ->
-        s"SELECT src, dst FROM (${dedupJaccardOracle()})",
+        s"SELECT src, dst FROM (${dedupJaccardOracle(nearDupIn)})",
 
       // exact ground truth for the fuzzy-dedup removal set: in the exact
       // J >= 0.5 pair graph every dup group is a clique (planted dups are
