@@ -48,17 +48,25 @@ object CommonCrawlApp {
       }
   }
 
-  /** Plain HTTP fetcher for small driver-side listings (collinfo,
-    * warc.paths.gz) on cluster deploys — never called in-sandbox.
-    * Non-200 responses fail loudly instead of parsing an error body.
+  /** Open + status-check one HTTP connection (non-200 fails loudly
+    * instead of parsing an error body). Shared by both fetchers so
+    * timeout/status policy can't diverge between them.
     */
-  def httpFetch: String => Array[Byte] = url => {
+  private def openConn(url: String): java.net.HttpURLConnection = {
     val conn = java.net.URI.create(url).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(120000)
     val code = conn.getResponseCode
     require(code == 200, s"HTTP $code for $url")
+    conn
+  }
+
+  /** Plain HTTP fetcher for small driver-side listings (collinfo,
+    * warc.paths.gz) on cluster deploys — never called in-sandbox.
+    */
+  def httpFetch: String => Array[Byte] = url => {
+    val conn = openConn(url)
     val in = conn.getInputStream
     try in.readAllBytes() finally { in.close(); conn.disconnect() }
   }
@@ -68,12 +76,7 @@ object CommonCrawlApp {
     * materializes in executor memory.
     */
   def httpStreamFetch: (String, java.io.OutputStream) => Unit = (url, out) => {
-    val conn = java.net.URI.create(url).toURL.openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    conn.setConnectTimeout(30000)
-    conn.setReadTimeout(120000)
-    val code = conn.getResponseCode
-    require(code == 200, s"HTTP $code for $url")
+    val conn = openConn(url)
     val in = conn.getInputStream
     try in.transferTo(out) finally { in.close(); conn.disconnect() }
   }

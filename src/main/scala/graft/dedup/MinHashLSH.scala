@@ -202,9 +202,13 @@ object MinHashLSH {
   def verifiedPairs(df: DataFrame, p: Params = Params(), ngram: Int = 3,
                     minJaccard: Double = 0.8,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // null texts can never pair (signatures() gives them null sigs and
+    // ngramJaccard is undefined) — drop them BEFORE grouping, or md5's
+    // null key would collapse them into one bogus J=1.0 clique
+    val nonNull = df.filter(col(textCol).isNotNull)
     // eager localCheckpoint: groups feeds the rep semi-join and both
     // expansion consumers — a lazy cache() would recompute or pin
-    val groups = df
+    val groups = nonNull
       .groupBy(md5(to_binary(col(textCol), lit("utf-8"))).as("_th"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .localCheckpoint(true)

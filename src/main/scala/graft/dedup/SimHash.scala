@@ -118,9 +118,13 @@ object SimHash {
                            ngram: Int = 3, idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
     val fpU = udf((t: String) => if (t == null) 0L else simhash64(t))
+    // null texts can never pair (ngramJaccard is undefined for them) —
+    // drop before grouping, or md5's null key would collapse them into
+    // one bogus J=1.0 clique (same guard as MinHashLSH.verifiedPairs)
     // eager localCheckpoint: groups feeds reps and both expansion
     // consumers — a lazy cache() would recompute the fingerprint UDF
     val groups = df
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), md5(to_binary(col(textCol), lit("utf-8"))).as("_th"),
         fpU(col(textCol)).as("simhash"))
       .groupBy("simhash", "_th")

@@ -55,7 +55,9 @@ object WikipediaSource {
     val buf = new java.io.BufferedInputStream(rawIn)
     buf.mark(4)
     val magic = new Array[Byte](3)
-    val nRead = buf.read(magic)
+    // readNBytes loops until 3 bytes or EOF — a plain read() may return
+    // short on network streams and misclassify a valid bz2 dump
+    val nRead = buf.readNBytes(magic, 0, 3)
     buf.reset()
     val in =
       if (nRead == 3 && magic(0) == 'B' && magic(1) == 'Z' && magic(2) == 'h')

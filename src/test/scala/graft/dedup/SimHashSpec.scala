@@ -68,4 +68,17 @@ class SimHashSpec extends AnyFunSuite {
     assert(collapsed.exists(p => p._1 == 6L && p._2 == 7L)) // distinct-text near pair survives
     assert(collapsed.count(p => p._3 == 1000000L) == 3 + 1) // 3-clique pairs + (4,5)
   }
+
+  test("null-text docs never pair (no bogus J=1.0 clique from the null md5 group)") {
+    val docs = Seq(
+      1L -> Option.empty[String], 2L -> Option.empty[String], 3L -> Some(base),
+      4L -> Some(base), 5L -> Option.empty[String]
+    ).toDF("doc_id", "text")
+    val sim = SimHash.verifiedNearDupPairs(docs, maxHamming = 4, minJaccard = 0.5)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim == Set((3L, 4L)), s"got $sim")
+    val mh = MinHashLSH.verifiedPairs(docs, minJaccard = 0.5)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((3L, 4L)), s"got $mh")
+  }
 }
