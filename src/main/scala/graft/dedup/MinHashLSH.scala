@@ -213,7 +213,11 @@ object MinHashLSH {
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .localCheckpoint(true)
     val reps = groups.select(col("ids").getItem(0).as(idCol))
+    // eager localCheckpoint: the banded view self-joins below and no
+    // exchange sits under it, so without materialization BOTH join
+    // sides would recompute the signature UDF pass from the scan
     val b = bands(signatures(df.join(reps, Seq(idCol), "left_semi"), p, idCol, textCol), p, idCol)
+      .localCheckpoint(true)
     val candPairs = b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
           col(s"l.$idCol") < col(s"r.$idCol"))
