@@ -75,15 +75,25 @@ final class ManifestParquetIO(root: String) extends TableIO with Serializable {
     val done = committedUnits(table)
     val units = df.select(unitCol).distinct().collect().map(_.get(0).toString).sorted
     for (u <- units if !done.contains(u)) {
-      val part = process(df.filter(col(unitCol) === u))
-      // row count observed on the write job itself — no output re-read,
-      // and a fully-filtered unit reports rows=0 naturally (the old
-      // read-back threw on the _SUCCESS-only directory such units leave)
-      val obs = org.apache.spark.sql.Observation()
-      val w = part.observe(obs, count(lit(1)).as("rows")).write.mode(SaveMode.Overwrite)
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(s"${path(table)}/unit=$u")
-      appendManifest(table, s"""{"event":"unit_commit","table":"$table","unit":"$u","rows":${obs.get("rows")}}""")
+      // single-writer is the manifest impl's contract (like any plain
+      // parquet output path; the Iceberg CatalogTableIO path commits
+      // atomic snapshots and is the answer for concurrent drivers) —
+      // but if a second driver DOES share the root (retry scheduler,
+      // operator error), re-checking right before each unit turns the
+      // race into convergence instead of duplicate work + a torn
+      // Overwrite: only the startup snapshot `done` goes stale, not
+      // this read (one tiny manifest read per unit)
+      if (!committedUnits(table).contains(u)) {
+        val part = process(df.filter(col(unitCol) === u))
+        // row count observed on the write job itself — no output re-read,
+        // and a fully-filtered unit reports rows=0 naturally (the old
+        // read-back threw on the _SUCCESS-only directory such units leave)
+        val obs = org.apache.spark.sql.Observation()
+        val w = part.observe(obs, count(lit(1)).as("rows")).write.mode(SaveMode.Overwrite)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(s"${path(table)}/unit=$u")
+        appendManifest(table, s"""{"event":"unit_commit","table":"$table","unit":"$u","rows":${obs.get("rows")}}""")
+      }
     }
   }
 }
