@@ -783,6 +783,48 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    // ================= synthetic-data stages =================
+    // prompt-building side of the Nemotron-CC generation stages: the
+    // injected llm ECHOES the prompt, so the output column is exactly
+    // the reference template with {document} substituted — the part a
+    // deployment must get byte-right before any model sees it
+    "synth_prompt" -> ((s, dir) => {
+      val echo: (Option[String], String) => String = (_, p) => p
+      graft.synth.NemotronCC.generate(
+          tbl(s, dir, "documents").select("doc_id", "text"),
+          graft.synth.NemotronCC.WikipediaRephrase, echo)
+        .select(col("doc_id"), col("rephrased").as("prompt"))
+    }),
+
+    // DiverseQA post-processing over a constructed single-pair model
+    // output (prefix line + one bulleted Question/Answer + a
+    // continuation line): with one pair the reference's shuffle/sample
+    // is the identity, so the full merge+concat path has an exact
+    // string oracle
+    "synth_diverse_qa" -> ((s, dir) => {
+      val in = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("diverse_qa", expr(
+          """concat('Here are the questions and answers based on the provided text:',
+             '\n- Question: What is the first word? Answer: ',
+             regexp_extract(text, '^(\\S+)', 1), '\nIt appears at the start.')"""))
+      graft.synth.NemotronCC.withDiverseQAPostProcessed(in)
+        .select(col("doc_id"), col("diverse_qa"))
+    }),
+
+    // KnowledgeList post-processing over a constructed model output:
+    // non-bullet header (drops), "- " bullet and two-space indent
+    // (strip), raw tail line (kept) — deterministic per doc
+    "synth_knowledge_list" -> ((s, dir) => {
+      val in = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("knowledge_list", expr(
+          """concat('Key facts extracted:',
+             '\n- first word is ', regexp_extract(text, '^(\\S+)', 1),
+             '\n  second word is ', regexp_extract(text, '^\\S+ (\\S+)', 1),
+             '\nraw tail line')"""))
+      graft.synth.NemotronCC.withKnowledgeListPostProcessed(in)
+        .select(col("doc_id"), col("knowledge_list"))
+    }),
+
     // ================= unicode clean / warc / rechunk / salting =================
     "mod_unicode_clean" -> ((s, dir) => {
       val u = udf((t: String) => graft.scrub.UnicodeClean.clean(t))
@@ -1296,6 +1338,25 @@ object SparkEntry {
 
       "wiki_extract" ->
         "SELECT doc_id, 'Intro' || chr(10) || text || chr(10) || 'Docs' AS text FROM documents",
+
+      // exact replay of the reference prompt template with {document}
+      // substituted (template carried verbatim into the oracle literal)
+      "synth_prompt" -> {
+        val tpl = graft.synth.NemotronCC.prompts("wikipedia_rephrasing").replace("'", "''")
+        s"SELECT doc_id, replace('$tpl', '{document}', text) AS prompt FROM documents"
+      },
+
+      "synth_diverse_qa" ->
+        """SELECT doc_id, text || chr(10) || chr(10) ||
+             'Question: What is the first word? Answer: ' || regexp_extract(text, '^(\S+)', 1) ||
+             chr(10) || 'It appears at the start.' AS diverse_qa
+           FROM documents""",
+
+      "synth_knowledge_list" ->
+        """SELECT doc_id, 'first word is ' || regexp_extract(text, '^(\S+)', 1) || chr(10) ||
+             'second word is ' || regexp_extract(text, '^\S+ (\S+)', 1) || chr(10) ||
+             'raw tail line' AS knowledge_list
+           FROM documents""",
 
       "split_rechunk" ->
         "SELECT doc_id, text AS reassembled FROM documents",

@@ -1,0 +1,182 @@
+package graft.synth
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Nemotron-CC synthetic-data stages
+  * (stages/synthetic/nemotron_cc/{base,nemotron_cc,prompts}.py and
+  * stages/synthetic/qa_multilingual_synthetic.py).
+  *
+  * The reference's five generation stages (Wikipedia rephrase, diverse
+  * QA, distill, extract-knowledge, knowledge-list) are all one shape:
+  * format a prompt template with the document, send (system?, prompt)
+  * to an LLM client, store the response column. The LLM call itself is
+  * INJECTED (`llm: (Option[system], prompt) => response`) — the same
+  * zero-egress seam as CCUrls/WarcDownloader; a deployment passes an
+  * OpenAI-compatible client, tests pass a deterministic function. The
+  * prompt TEMPLATES are the reference's own (verbatim, loaded from a
+  * resource like the stop lists — they are the API contract: a model
+  * prompted differently produces different data).
+  *
+  * The two deterministic POST-PROCESSORS are full ports:
+  * [[diverseQAPostProcess]] (nemotron_cc.py:55-120 — bullet strip,
+  * prefix drop, Question:-anchored pair merging, seeded sample, doc +
+  * QA concatenation) and [[knowledgeListPostProcess]]
+  * (nemotron_cc.py:146-180 — leading-bullet normalization). Where the
+  * reference uses the global `random` module, ours takes an explicit
+  * seed (derived per-row from the doc text) so pipelines are
+  * deterministic and resumable — same policy as the Pareto quality
+  * filter.
+  */
+object NemotronCC {
+
+  /** Reference prompt templates, `{document}` placeholder included
+    * (prompts.py — loaded as data, keyed by section).
+    */
+  lazy val prompts: Map[String, String] = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/nemotron_cc_prompts.txt"), "UTF-8").mkString
+    raw.split("(?m)^### ").filter(_.nonEmpty).map { block =>
+      val nl = block.indexOf('\n')
+      block.substring(0, nl).trim -> block.substring(nl + 1).stripLineEnd
+    }.toMap
+  }
+
+  def systemPrompt: String = prompts("nemotron_cc_system")
+  def distillSystemPrompt: String = prompts("nemotron_cc_distill_system")
+
+  /** The five (template, system-prompt, output column) stage configs
+    * (nemotron_cc.py:36-53,123-145).
+    */
+  val WikipediaRephrase: (String, Option[String], String) =
+    ("wikipedia_rephrasing", Some("nemotron_cc_system"), "rephrased")
+  val DiverseQA: (String, Option[String], String) =
+    ("diverse_qa", None, "diverse_qa")
+  val Distill: (String, Option[String], String) =
+    ("distill", Some("nemotron_cc_distill_system"), "distill")
+  val ExtractKnowledge: (String, Option[String], String) =
+    ("extract_knowledge", None, "extract_knowledge")
+  val KnowledgeList: (String, Option[String], String) =
+    ("knowledge_list", None, "knowledge_list")
+
+  /** One generation stage: prompt = template with `{document}` replaced
+    * by the input column (base.py:_process_llm_prompt), response column
+    * appended. `llm` receives (system prompt if the stage carries one,
+    * user prompt) — the reference builds the same two-message chat.
+    * The UDF is nondeterministic-marked: an external model call must
+    * never be re-evaluated or reordered by the optimizer.
+    */
+  def generate(df: DataFrame, stage: (String, Option[String], String),
+               llm: (Option[String], String) => String,
+               inputCol: String = "text"): DataFrame = {
+    val (tplKey, sysKey, outCol) = stage
+    val tpl = prompts(tplKey)
+    val sys = sysKey.map(prompts)
+    val u = udf((text: String) =>
+      if (text == null) null else llm(sys, tpl.replace("{document}", text)))
+      .asNondeterministic()
+    df.withColumn(outCol, u(col(inputCol)))
+  }
+
+  /** DiverseQA post-processing (nemotron_cc.py:73-110 `_format_row`):
+    * trim + drop blank lines, strip "- " bullets, drop the leading
+    * prefix line, merge each "Question:" line with its continuation
+    * lines, bail to "" on malformed output, sample up to a
+    * token-budgeted number of pairs, and append them to the document.
+    * `seed` replaces the reference's global RNG (shuffle + randint) so
+    * the result is a pure function.
+    */
+  def diverseQAPostProcess(text: String, generated: String, seed: Long,
+                           maxNumPairs: Int = 10,
+                           tokenCount: Option[String => Int] = None,
+                           prefix: String = "Here are the questions and answers based on the provided text:"): String = {
+    if (generated == null) return ""
+    var lines = generated.split("\n", -1).map(_.trim).filter(_.nonEmpty).toList
+    if (lines.isEmpty) return ""
+    lines = lines.map(l => if (l.startsWith("- ")) l.substring(2).trim else l)
+    if (lines.head == prefix) lines = lines.tail
+
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (line <- lines) {
+      if (line.startsWith("Question:")) pairs += line
+      else if (pairs.nonEmpty) pairs(pairs.length - 1) = pairs.last + "\n" + line
+      else return ""
+    }
+    if (pairs.isEmpty) return ""
+
+    val rnd = new scala.util.Random(seed)
+    val shuffled = rnd.shuffle(pairs.toList)
+    val cap = tokenCount match {
+      case Some(tc) =>
+        val numTokens = tc(text)
+        // random.randint(1, max(1, max_num_pairs * tokens / 150)) — inclusive
+        val hi = math.max(1, maxNumPairs * numTokens / 150)
+        1 + rnd.nextInt(hi)
+      case None => 1 + rnd.nextInt(maxNumPairs)
+    }
+    val kept = shuffled.take(cap)
+    s"$text\n\n${kept.mkString("\n\n")}"
+  }
+
+  /** KnowledgeList post-processing (nemotron_cc.py:146-180
+    * `_format_text`): drop a non-bullet first line, strip two-space /
+    * "- " leads, keep everything else; newline-joined.
+    */
+  def knowledgeListPostProcess(generated: String): String = {
+    if (generated == null) return ""
+    val out = List.newBuilder[String]
+    val lines = generated.split("\n", -1)
+    var idx = 0
+    while (idx < lines.length) {
+      val line = lines(idx)
+      if (idx == 0 && !line.startsWith("-")) ()
+      else if (line.startsWith("  ") || line.startsWith("- ")) out += line.substring(2).trim
+      else out += line
+      idx += 1
+    }
+    out.result().mkString("\n")
+  }
+
+  /** DataFrame stages over the post-processors. Seeds derive from the
+    * doc text (content-stable across retries/partitionings).
+    */
+  def withDiverseQAPostProcessed(df: DataFrame, textCol: String = "text",
+                                 qaCol: String = "diverse_qa",
+                                 maxNumPairs: Int = 10,
+                                 tokenCount: Option[String => Int] = None): DataFrame = {
+    val u = udf((text: String, gen: String) =>
+      diverseQAPostProcess(text, gen,
+        seed = scala.util.hashing.MurmurHash3.stringHash(if (text == null) "" else text).toLong,
+        maxNumPairs, tokenCount))
+    df.withColumn(qaCol, u(col(textCol), col(qaCol)))
+  }
+
+  def withKnowledgeListPostProcessed(df: DataFrame, listCol: String = "knowledge_list"): DataFrame = {
+    val u = udf((gen: String) => knowledgeListPostProcess(gen))
+    df.withColumn(listCol, u(coalesce(col(listCol), lit(""))))
+  }
+
+  /** Multilingual QA sample generation
+    * (qa_multilingual_synthetic.py:31-129): `numSamples` prompts, each
+    * formatted with a language drawn from `languages` (seeded here —
+    * the reference draws with `secrets.choice`), sent through the
+    * injected llm; '*' stripped from responses (model bolding). Rows
+    * are generated DISTRIBUTED: the sample index range parallelizes
+    * and each partition calls the llm for its own rows.
+    */
+  def qaMultilingual(spark: org.apache.spark.sql.SparkSession, promptTemplate: String,
+                     languages: Seq[String], numSamples: Int,
+                     llm: (Option[String], String) => String,
+                     seed: Long = 42, partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    val langs = languages.toIndexedSeq
+    val ds = spark.range(numSamples.toLong).repartition(math.max(1, partitions))
+    val u = udf((i: Long) => {
+      val rnd = new scala.util.Random(seed ^ i)
+      val language = langs(rnd.nextInt(langs.length))
+      val resp = llm(None, promptTemplate.replace("{language}", language))
+      if (resp == null) "" else resp.replace("*", "")
+    }).asNondeterministic()
+    ds.select(u(col("id")).as("text"))
+  }
+}
