@@ -801,12 +801,17 @@ object SparkEntry {
     // continuation line): with one pair the reference's shuffle/sample
     // is the identity, so the full merge+concat path has an exact
     // string oracle
+    // variable segments are BRACKETED so a degenerate doc (empty or
+    // one-word text -> regexp_extract = '') can never leave a
+    // trailing space for the post-processor's strip to eat while the
+    // oracle's plain concat keeps it; text coalesces to '' both sides
     "synth_diverse_qa" -> ((s, dir) => {
-      val in = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val in = tbl(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
         .withColumn("diverse_qa", expr(
           """concat('Here are the questions and answers based on the provided text:',
-             '\n- Question: What is the first word? Answer: ',
-             regexp_extract(text, '^(\\S+)', 1), '\nIt appears at the start.')"""))
+             '\n- Question: What is the first word? Answer: [',
+             regexp_extract(text, '^(\\S+)', 1), ']\nIt appears at the start.')"""))
       graft.synth.NemotronCC.withDiverseQAPostProcessed(in)
         .select(col("doc_id"), col("diverse_qa"))
     }),
@@ -815,12 +820,13 @@ object SparkEntry {
     // non-bullet header (drops), "- " bullet and two-space indent
     // (strip), raw tail line (kept) — deterministic per doc
     "synth_knowledge_list" -> ((s, dir) => {
-      val in = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val in = tbl(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
         .withColumn("knowledge_list", expr(
           """concat('Key facts extracted:',
-             '\n- first word is ', regexp_extract(text, '^(\\S+)', 1),
-             '\n  second word is ', regexp_extract(text, '^\\S+ (\\S+)', 1),
-             '\nraw tail line')"""))
+             '\n- first word is [', regexp_extract(text, '^(\\S+)', 1),
+             ']\n  second word is [', regexp_extract(text, '^\\S+ (\\S+)', 1),
+             ']\nraw tail line')"""))
       graft.synth.NemotronCC.withKnowledgeListPostProcessed(in)
         .select(col("doc_id"), col("knowledge_list"))
     }),
@@ -1347,15 +1353,17 @@ object SparkEntry {
       },
 
       "synth_diverse_qa" ->
-        """SELECT doc_id, text || chr(10) || chr(10) ||
-             'Question: What is the first word? Answer: ' || regexp_extract(text, '^(\S+)', 1) ||
-             chr(10) || 'It appears at the start.' AS diverse_qa
+        """SELECT doc_id, coalesce(text, '') || chr(10) || chr(10) ||
+             'Question: What is the first word? Answer: [' ||
+             regexp_extract(coalesce(text, ''), '^(\S+)', 1) ||
+             ']' || chr(10) || 'It appears at the start.' AS diverse_qa
            FROM documents""",
 
       "synth_knowledge_list" ->
-        """SELECT doc_id, 'first word is ' || regexp_extract(text, '^(\S+)', 1) || chr(10) ||
-             'second word is ' || regexp_extract(text, '^\S+ (\S+)', 1) || chr(10) ||
-             'raw tail line' AS knowledge_list
+        """SELECT doc_id, 'first word is [' || regexp_extract(coalesce(text, ''), '^(\S+)', 1) ||
+             ']' || chr(10) ||
+             'second word is [' || regexp_extract(coalesce(text, ''), '^\S+ (\S+)', 1) ||
+             ']' || chr(10) || 'raw tail line' AS knowledge_list
            FROM documents""",
 
       "split_rechunk" ->

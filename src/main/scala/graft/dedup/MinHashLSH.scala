@@ -215,8 +215,10 @@ object MinHashLSH {
     val reps = groups.select(col("ids").getItem(0).as(idCol))
     // eager localCheckpoint: the banded view self-joins below and no
     // exchange sits under it, so without materialization BOTH join
-    // sides would recompute the signature UDF pass from the scan
-    val b = bands(signatures(df.join(reps, Seq(idCol), "left_semi"), p, idCol, textCol), p, idCol)
+    // sides would recompute the signature UDF pass from the scan.
+    // Everything downstream reads nonNull (not df) — the null exclusion
+    // is stated once at the source, same as the SimHash path
+    val b = bands(signatures(nonNull.join(reps, Seq(idCol), "left_semi"), p, idCol, textCol), p, idCol)
       .localCheckpoint(true)
     val candPairs = b.as("l").join(b.as("r"),
         col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash") &&
@@ -224,7 +226,7 @@ object MinHashLSH {
       .select(col(s"l.$idCol").as("src"), col(s"r.$idCol").as("dst"))
       .distinct()
     expandVerifiedGroups(
-      verifyEdges(candPairs, df, ngram, minJaccard, idCol, textCol), groups, minJaccard)
+      verifyEdges(candPairs, nonNull, ngram, minJaccard, idCol, textCol), groups, minJaccard)
   }
 
   /** Expand verified representative pairs back to every group member:

@@ -90,10 +90,14 @@ object NemotronCC {
                            maxNumPairs: Int = 10,
                            tokenCount: Option[String => Int] = None,
                            prefix: String = "Here are the questions and answers based on the provided text:"): String = {
+    val doc = if (text == null) "" else text
     if (generated == null) return ""
-    var lines = generated.split("\n", -1).map(_.trim).filter(_.nonEmpty).toList
+    // Python str.strip semantics (PyText.strip) — NBSP/Unicode-space
+    // lines must drop exactly as the reference drops them
+    var lines = generated.split("\n", -1)
+      .map(graft.text.PyText.strip).filter(_.nonEmpty).toList
     if (lines.isEmpty) return ""
-    lines = lines.map(l => if (l.startsWith("- ")) l.substring(2).trim else l)
+    lines = lines.map(l => if (l.startsWith("- ")) graft.text.PyText.strip(l.substring(2)) else l)
     if (lines.head == prefix) lines = lines.tail
 
     val pairs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -108,14 +112,14 @@ object NemotronCC {
     val shuffled = rnd.shuffle(pairs.toList)
     val cap = tokenCount match {
       case Some(tc) =>
-        val numTokens = tc(text)
+        val numTokens = tc(doc)
         // random.randint(1, max(1, max_num_pairs * tokens / 150)) — inclusive
         val hi = math.max(1, maxNumPairs * numTokens / 150)
         1 + rnd.nextInt(hi)
       case None => 1 + rnd.nextInt(maxNumPairs)
     }
     val kept = shuffled.take(cap)
-    s"$text\n\n${kept.mkString("\n\n")}"
+    s"$doc\n\n${kept.mkString("\n\n")}"
   }
 
   /** KnowledgeList post-processing (nemotron_cc.py:146-180
@@ -130,7 +134,8 @@ object NemotronCC {
     while (idx < lines.length) {
       val line = lines(idx)
       if (idx == 0 && !line.startsWith("-")) ()
-      else if (line.startsWith("  ") || line.startsWith("- ")) out += line.substring(2).trim
+      else if (line.startsWith("  ") || line.startsWith("- "))
+        out += graft.text.PyText.strip(line.substring(2)) // Python line[2:].strip()
       else out += line
       idx += 1
     }

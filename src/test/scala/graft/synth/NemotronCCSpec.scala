@@ -42,6 +42,16 @@ class NemotronCCSpec extends AnyFunSuite {
       assert(NemotronCC.diverseQAPostProcess("doc body", gen1, seed) ==
         "doc body\n\nQuestion: What is X? Answer: Y\nmore detail.")
     }
+    // NBSP-only line drops like Python str.strip (Java trim would keep
+    // it, hit the merge loop before any Question:, and bail to "")
+    assert(NemotronCC.diverseQAPostProcess("doc",
+      s"$prefixLine\n\u00A0\n- Question: q? Answer: a", 3L) ==
+      "doc\n\nQuestion: q? Answer: a")
+    // null text interpolates as "" (not the literal "null"), and a
+    // token-budgeted cap must not NPE on it
+    assert(NemotronCC.diverseQAPostProcess(null,
+      s"$prefixLine\n- Question: q? Answer: a", 3L,
+      tokenCount = Some(t => t.length)) == "\n\nQuestion: q? Answer: a")
     // malformed: first content line is not a Question -> ""
     assert(NemotronCC.diverseQAPostProcess("d", "no questions here", 1L) == "")
     assert(NemotronCC.diverseQAPostProcess("d", "", 1L) == "")
