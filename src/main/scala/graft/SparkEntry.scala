@@ -526,9 +526,12 @@ object SparkEntry {
       MinHashLSH.removalIds(tbl(s, dir, "documents").withColumn("text", expr(nearDupIn)))),
 
     // LM sanity gate: average word-perplexity on the training half must
-    // beat the held-out half by 2x (observed 11.5 vs 38.8 at sf0.01) —
-    // the aggregate property a DuckDB oracle CAN assert about a trained
-    // model (per-doc perplexities stay in the rows-only lm_perplexity)
+    // strictly beat the held-out half — the aggregate property a DuckDB
+    // oracle CAN assert about a trained model (per-doc perplexities
+    // stay in the rows-only lm_perplexity). STRICT (not 2x): the
+    // overfit margin shrinks as the corpus grows (measured ratio 3.2 /
+    // 3.4 / 1.24 at sf0.001/0.01/0.1 — a fixed 2x was sf0.01-pinned),
+    // while train < held-out holds at every scale by construction.
     "lm_ppl_gate" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 2 === 0)
@@ -540,7 +543,7 @@ object SparkEntry {
           avg(when(col("doc_id") % 2 === 0, col("perplexity"))).as("_tr"),
           avg(when(col("doc_id") % 2 === 1, col("perplexity"))).as("_he"),
           count(lit(1)).as("docs"))
-        .select((col("_tr") * 2 < col("_he")).as("train_better"), col("docs"))
+        .select((col("_tr") < col("_he")).as("train_better"), col("docs"))
     }),
 
     // sketch-then-verify: simhash bands propose candidates (hamming<=4),
