@@ -36,7 +36,8 @@ object NemotronCC {
   lazy val prompts: Map[String, String] = {
     val raw = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/graft/nemotron_cc_prompts.txt"), "UTF-8").mkString
-    raw.split("(?m)^### ").filter(_.nonEmpty).map { block =>
+    // drop the leading provenance-comment block (before the first ###)
+    raw.split("(?m)^### ").drop(1).map { block =>
       val nl = block.indexOf('\n')
       block.substring(0, nl).trim -> block.substring(nl + 1).stripLineEnd
     }.toMap
