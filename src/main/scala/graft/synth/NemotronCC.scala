@@ -79,6 +79,52 @@ object NemotronCC {
     df.withColumn(outCol, u(col(inputCol)))
   }
 
+  /** Batched generation: one `llmBatch` call per group of `batchSize`
+    * prompts inside each partition — the shape a real endpoint wants
+    * (the reference's AsyncLLMClient gathers a whole DocumentBatch of
+    * concurrent requests; an OpenAI-compatible server takes batched
+    * completions). mapPartitions keeps every batch on the executor
+    * that owns the rows; partition count bounds endpoint concurrency
+    * the way WarcDownloader's partitioning bounds download fan-out.
+    * Null texts pass through as null responses (matching [[generate]]).
+    */
+  def generateBatched(df: DataFrame, stage: (String, Option[String], String),
+                      llmBatch: (Option[String], Seq[String]) => Seq[String],
+                      inputCol: String = "text", batchSize: Int = 32): DataFrame = {
+    val (tplKey, sysKey, outCol) = stage
+    val tpl = prompts(tplKey)
+    val sys = sysKey.map(prompts)
+    val spark = df.sparkSession
+    val inIdx = df.schema.fieldIndex(inputCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.StringType, nullable = true))
+    val outRows = df.queryExecution.toRdd.mapPartitions { iter =>
+      // work on copies: InternalRow iterators reuse the row buffer
+      val rows = iter.map(_.copy())
+      rows.grouped(math.max(1, batchSize)).flatMap { batch =>
+        val texts = batch.map { r =>
+          if (r.isNullAt(inIdx)) null else r.getUTF8String(inIdx).toString
+        }
+        val prompts = texts.collect { case t if t != null => tpl.replace("{document}", t) }
+        val responses = if (prompts.isEmpty) Seq.empty else llmBatch(sys, prompts)
+        require(responses.length == prompts.length,
+          s"llmBatch returned ${responses.length} responses for ${prompts.length} prompts")
+        var ri = 0
+        batch.zip(texts).map { case (row, t) =>
+          val resp = if (t == null) null else { val r = responses(ri); ri += 1; r }
+          val vals = new Array[Any](row.numFields + 1)
+          var i = 0
+          while (i < row.numFields) { vals(i) = row.get(i, outSchema.fields(i).dataType); i += 1 }
+          vals(row.numFields) =
+            if (resp == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(resp)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals): org.apache.spark.sql.catalyst.InternalRow
+        }
+      }
+    }
+    org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark, outRows, outSchema)
+  }
+
   /** DiverseQA post-processing (nemotron_cc.py:73-110 `_format_row`):
     * trim + drop blank lines, strip "- " bullets, drop the leading
     * prefix line, merge each "Question:" line with its continuation

@@ -82,6 +82,25 @@ class NemotronCCSpec extends AnyFunSuite {
     assert(qa.orderBy("doc_id").collect().head.getString(2).startsWith("sys=false|Task:"))
   }
 
+  test("batched generation == per-row generation; batch sizes bounded; nulls pass through") {
+    val rows = (1L to 100L).map(i => (i, if (i % 10 == 0) null else s"doc number $i")) :+ (999L, null)
+    val df = rows.toDF("doc_id", "text")
+    val echo: (Option[String], String) => String = (sys, p) => s"${sys.size}|$p"
+    val perRow = NemotronCC.generate(df, NemotronCC.Distill, echo)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val echoBatch: (Option[String], Seq[String]) => Seq[String] = (sys, ps) => {
+      batchSizes.synchronized { batchSizes += ps.size }
+      ps.map(p => s"${sys.size}|$p")
+    }
+    val batched = NemotronCC.generateBatched(df, NemotronCC.Distill, echoBatch, batchSize = 16)
+    assert(batched.columns.toSeq == Seq("doc_id", "text", "distill"))
+    val got = batched.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got == perRow)
+    assert(got(999L) == null && got(10L) == null)
+    assert(got(1L).startsWith("1|Your task is to read and paraphrase"))
+  }
+
   test("multilingual QA sampler: seeded languages, '*' stripped, distributed rows") {
     val tpl = "Write a question and answer in {language}."
     val llm: (Option[String], String) => String = (_, p) => s"**${p}**"
