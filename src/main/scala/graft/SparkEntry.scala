@@ -674,6 +674,26 @@ object SparkEntry {
           round(col("quality_prob"), 4).as("quality_prob"))
     }),
 
+    // FineWebEdu regression contract over the committed linear
+    // artifact: marker counts pin the score exactly (bias 1.0 +
+    // 1.5/high − 1.0/low; non-marker tokens weigh 0), exercising the
+    // clip-at-5, the 2.5 threshold AND the round-half-EVEN int_score
+    // (score 2.5 -> int 2, label high) — all SQL-replayable
+    "fineweb_edu" -> ((s, dir) => {
+      val hi = graft.classify.FineWebEdu.HighMarker
+      val lo = graft.classify.FineWebEdu.LowMarker
+      val in = tbl(s, dir, "documents").withColumn("text", expr(
+        s"""CASE WHEN doc_id % 10 = 0 THEN concat(text, ' $hi $hi $hi')
+                 WHEN doc_id % 10 = 1 THEN concat(text, ' $hi')
+                 WHEN doc_id % 2 = 0 THEN concat(text, ' $hi $hi')
+                 ELSE concat(text, ' $lo') END"""))
+      graft.classify.FineWebEduClassifier(
+          modelPath = "src/main/resources/models/fineweb_tiny.bin")
+        .score(in)
+        .select(col("doc_id"), col("preds"),
+          round(col("float_score"), 4).as("float_score"), col("int_score"))
+    }),
+
     "ft_langid" -> ((s, dir) => {
       // hashed char-ngram linear model trained on the table's own
       // (lang, text) pairs; fastText-LangId contract output.
@@ -1271,6 +1291,22 @@ object SparkEntry {
       "quality_classifier" ->
         """SELECT doc_id, '__label__hq' AS quality_pred, 0.9999 AS quality_prob
            FROM documents WHERE doc_id % 2 = 0""",
+
+      "fineweb_edu" ->
+        """SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0 THEN 'high_quality'
+                       WHEN doc_id % 10 = 1 THEN 'high_quality'
+                       WHEN doc_id % 2 = 0 THEN 'high_quality'
+                       ELSE 'low_quality' END AS preds,
+                  CASE WHEN doc_id % 10 = 0 THEN 5.5
+                       WHEN doc_id % 10 = 1 THEN 2.5
+                       WHEN doc_id % 2 = 0 THEN 4.0
+                       ELSE 0.0 END AS float_score,
+                  CASE WHEN doc_id % 10 = 0 THEN 5
+                       WHEN doc_id % 10 = 1 THEN 2
+                       WHEN doc_id % 2 = 0 THEN 4
+                       ELSE 0 END AS int_score
+           FROM documents""",
 
       "ft_quality" ->
         "SELECT count(*) AS docs, true AS both_classes, true AS kept_scores_higher FROM documents",
