@@ -865,6 +865,35 @@ object SparkEntry {
         .select(col("doc_id"), col("knowledge_list"))
     }),
 
+    // ================= audio-pipeline stages =================
+    // WER/CER over constructed ASR "predictions" with known edit
+    // distances (first word substituted -> word distance 1; one char
+    // appended -> char distance 1), so the reference formulas
+    // round(dist/len*100, 2) are exact SQL — round_even replicates
+    // Python's half-even (a 32-word doc hits 3.125 -> 3.12)
+    "audio_wer" -> ((s, dir) => {
+      val in = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("pred_text", expr("regexp_replace(text, '^\\\\S+', 'zsubz')"))
+        .withColumn("pred_cer", expr("concat(text, 'Z')"))
+      val withCer = graft.audio.AudioMetrics.withCer(
+        graft.audio.AudioMetrics.withWer(in), predCol = "pred_cer")
+      withCer.select(col("doc_id"), col("wer"), col("cer"))
+    }),
+
+    // WAV duration + char/word rates over generated PCM WAV payloads:
+    // samples derive from doc_id, so duration (frames/rate) and the
+    // rates are exact FP both sides
+    "audio_duration" -> ((s, dir) => {
+      val wavU = udf((id: Long) =>
+        graft.audio.WavIO.buildPcmWav(8000 + (id % 100).toInt * 160, 16000))
+      val in = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("audio", wavU(col("doc_id")))
+      graft.audio.AudioMetrics.withRates(
+          graft.audio.AudioStages.withDuration(in))
+        .select(col("doc_id"), round(col("duration"), 6).as("duration"),
+          col("charrate"), col("wordrate"))
+    }),
+
     // ================= unicode clean / warc / rechunk / salting =================
     "mod_unicode_clean" -> ((s, dir) => {
       val u = udf((t: String) => graft.scrub.UnicodeClean.clean(t))
@@ -1417,6 +1446,25 @@ object SparkEntry {
              'second word is [' || regexp_extract(coalesce(text, ''), '^\S+ (\S+)', 1) ||
              ']' || chr(10) || 'raw tail line' AS knowledge_list
            FROM documents""",
+
+      // reference get_wer/get_cer formulas with constructed distance 1:
+      // round_even = Python's round-half-even (3.125 -> 3.12)
+      "audio_wer" -> {
+        val ws = duckWords("text")
+        s"""SELECT doc_id,
+              round_even(100.0 / len($ws), 2) AS wer,
+              round_even(100.0 / length(text), 2) AS cer
+            FROM documents"""
+      },
+
+      "audio_duration" -> {
+        val ws = duckWords("text")
+        s"""SELECT doc_id,
+              round((8000 + (doc_id % 100) * 160) / 16000.0, 6) AS duration,
+              round_even(length(text) / ((8000 + (doc_id % 100) * 160) / 16000.0), 2) AS charrate,
+              round_even(len($ws) / ((8000 + (doc_id % 100) * 160) / 16000.0), 2) AS wordrate
+            FROM documents"""
+      },
 
       "split_rechunk" ->
         "SELECT doc_id, text AS reassembled FROM documents",
