@@ -29,17 +29,23 @@ object WavIO {
     var sampleRate = 0L
     var blockAlign = 0
     var dataLen = -1L
-    while (pos + 8 <= bytes.length) {
+    var walking = true
+    while (walking && pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = le32(bytes, pos + 4)
-      if (id == "fmt " && pos + 8 + 16 <= bytes.length) {
+      val size = le32(bytes, pos + 4) // unsigned 32-bit, 0..2^32-1
+      if (id == "fmt " && size >= 16 && pos + 8 + 16 <= bytes.length) {
         sampleRate = le32(bytes, pos + 12)
         blockAlign = le16(bytes, pos + 20)
       } else if (id == "data") {
         dataLen = math.min(size, (bytes.length - pos - 8).toLong)
       }
-      // chunks are word-aligned (odd sizes pad one byte)
-      pos += 8 + size.toInt + (size.toInt & 1)
+      // chunks are word-aligned (odd sizes pad one byte); the declared
+      // size is UNTRUSTED input — advance through a Long cursor and
+      // stop walking when a (truncated/corrupt) size points past the
+      // buffer, instead of wrapping Int into a spin or a negative index
+      val next = pos.toLong + 8L + size + (size & 1L)
+      if (next <= pos || next > bytes.length.toLong) walking = false
+      else pos = next.toInt
     }
     if (sampleRate <= 0 || blockAlign <= 0 || dataLen < 0) -1.0
     else (dataLen / blockAlign).toDouble / sampleRate

@@ -38,10 +38,18 @@ object WebDataset {
             done = true
             if (pendingKey != null) { out = (pendingKey, pendingParts); pendingKey = null }
           } else if (!e.isDirectory) {
-            val name = e.getName.split('/').last
-            val dot = name.lastIndexOf('.')
+            // webdataset key = the full member path up to the FIRST dot
+            // of the basename (dotted extensions like `.metadata.json`
+            // are part of the EXTENSION, and members in different
+            // directories are different samples); such compound
+            // extensions simply don't match the jpg/json/txt columns
+            val full = e.getName
+            val slash = full.lastIndexOf('/')
+            val base = full.substring(slash + 1)
+            val dot = base.indexOf('.')
             val (key, ext) =
-              if (dot <= 0) (name, "") else (name.substring(0, dot), name.substring(dot + 1).toLowerCase)
+              if (dot <= 0) (full, "")
+              else (full.substring(0, slash + 1 + dot), base.substring(dot + 1).toLowerCase)
             val body = {
               val bos = new java.io.ByteArrayOutputStream()
               val buf = new Array[Byte](8192)

@@ -94,12 +94,15 @@ object NemotronCC {
     val (tplKey, sysKey, outCol) = stage
     val tpl = prompts(tplKey)
     val sys = sysKey.map(prompts)
-    val spark = df.sparkSession
-    val inIdx = df.schema.fieldIndex(inputCol)
+    // withColumn semantics like generate(): an existing output column
+    // is REPLACED, never duplicated into an ambiguous schema
+    val base = if (df.columns.contains(outCol)) df.drop(outCol) else df
+    val spark = base.sparkSession
+    val inIdx = base.schema.fieldIndex(inputCol)
     val outSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+      base.schema.fields :+ org.apache.spark.sql.types.StructField(
         outCol, org.apache.spark.sql.types.StringType, nullable = true))
-    val outRows = df.queryExecution.toRdd.mapPartitions { iter =>
+    val outRows = base.queryExecution.toRdd.mapPartitions { iter =>
       // work on copies: InternalRow iterators reuse the row buffer
       val rows = iter.map(_.copy())
       rows.grouped(math.max(1, batchSize)).flatMap { batch =>

@@ -39,6 +39,18 @@ class AudioSpec extends AnyFunSuite {
     assert(WavIO.wavDurationSeconds("not a wav".getBytes) == -1.0)
     assert(WavIO.wavDurationSeconds(null) == -1.0)
     assert(WavIO.wavDurationSeconds(wav.take(20)) == -1.0)
+    // UNTRUSTED chunk sizes: a truncated download declaring a huge
+    // data chunk, a size that wraps Int to a no-advance value, and a
+    // 3 GB declared chunk must all resolve (no hang/throw)
+    val truncated = wav.take(60).toArray
+    assert(WavIO.wavDurationSeconds(truncated) >= 0.0) // clamped data
+    val evil = wav.clone()
+    // overwrite the data chunk size with 0xFFFFFFF8 (toInt == -8)
+    val dataOff = 40
+    evil(dataOff) = 0xf8.toByte; evil(dataOff + 1) = 0xff.toByte
+    evil(dataOff + 2) = 0xff.toByte; evil(dataOff + 3) = 0xff.toByte
+    val d = WavIO.wavDurationSeconds(evil) // must terminate
+    assert(d >= 0.0 || d == -1.0)
   }
 
   test("duration + WER + rates stages over a binary audio table; preserve-by-value ops") {

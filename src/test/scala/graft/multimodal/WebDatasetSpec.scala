@@ -29,6 +29,23 @@ class WebDatasetSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(2) && rows(2).getString(3) == "{}")
   }
 
+  test("webdataset keys split at the FIRST dot and include the directory prefix") {
+    val shard = WebDataset.buildShard(Seq(
+      "d1/0001" -> Map("jpg" -> Array[Byte](1), "metadata.json" -> "{}".getBytes("UTF-8"),
+        "txt" -> "cap".getBytes("UTF-8")),
+      "d2/0001" -> Map("jpg" -> Array[Byte](2))))
+    val dir = java.nio.file.Files.createTempDirectory("wds2")
+    java.nio.file.Files.write(dir.resolve("s.tar"), shard)
+    val rows = WebDataset.read(spark, dir.toString).orderBy("key").collect()
+    // d1/0001's three members are ONE sample (the dotted
+    // `.metadata.json` extension doesn't fragment it), and the same
+    // basename in another directory is a DIFFERENT sample
+    assert(rows.map(_.getString(0)).toSeq == Seq("d1/0001", "d2/0001"))
+    assert(rows(0).getString(4) == "cap")
+    assert(rows(0).isNullAt(3)) // compound ext doesn't match the json column
+    assert(rows(1).getAs[Array[Byte]]("jpg").toSeq == Seq[Byte](2))
+  }
+
   test("duplicate-removal by id parquet is the existing anti-join (image dedup removal stage)") {
     import spark.implicits._
     val images = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "payload")

@@ -99,6 +99,11 @@ class NemotronCCSpec extends AnyFunSuite {
     assert(got == perRow)
     assert(got(999L) == null && got(10L) == null)
     assert(got(1L).startsWith("1|Your task is to read and paraphrase"))
+    // re-running over already-generated output REPLACES the column
+    // (withColumn semantics, like generate) — no ambiguous duplicate
+    val again = NemotronCC.generateBatched(batched, NemotronCC.Distill, echoBatch, batchSize = 16)
+    assert(again.columns.toSeq == Seq("doc_id", "text", "distill"))
+    assert(again.select("distill").count() == rows.size)
   }
 
   test("multilingual QA sampler: seeded languages, '*' stripped, distributed rows") {
