@@ -22,6 +22,18 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a single-file test table across the cores. The sf parquet
+    * ships as ONE file with ONE row group, so every scan is one
+    * partition regardless of maxPartitionBytes and a heavy per-row UDF
+    * stage (minhash signatures ~0.5 ms/doc) serializes onto a single
+    * core — production corpora arrive in thousands of splits, which is
+    * the input shape the operators are designed for. Harness-side
+    * repartition, not an operator concern (an unconditional repartition
+    * inside removalIds would re-shuffle 100 TB of text).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Max rows any catalog query may collect to the driver for model
     * training — keeps the driver memory O(1) in corpus size. At sf0.01
     * every sampled train set is under this cap, so results are identical
@@ -523,7 +535,7 @@ object SparkEntry {
     // equality oracle (raw-corpus pairs near the boundary sat in the
     // LSH recall gap at scales other than sf0.01)
     "dedup_minhash_ids" -> ((s, dir) =>
-      MinHashLSH.removalIds(tbl(s, dir, "documents").withColumn("text", expr(nearDupIn)))),
+      MinHashLSH.removalIds(spread(tbl(s, dir, "documents").withColumn("text", expr(nearDupIn))))),
 
     // LM sanity gate: average word-perplexity on the training half must
     // strictly beat the held-out half — the aggregate property a DuckDB
@@ -552,13 +564,13 @@ object SparkEntry {
     // CONSTRUCTED nearDupIn corpus (scale-robust; see nearDupIn)
     "dedup_simhash_pairs" -> ((s, dir) =>
       SimHash.verifiedNearDupPairs(
-          tbl(s, dir, "documents").withColumn("text", expr(swapDupIn)),
+          spread(tbl(s, dir, "documents").withColumn("text", expr(swapDupIn))),
           maxHamming = 4, minJaccard = 0.5)
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))),
 
     "dedup_jaccard_pairs" -> ((s, dir) =>
       MinHashLSH.verifiedPairs(
-          tbl(s, dir, "documents").withColumn("text", expr(nearDupIn)),
+          spread(tbl(s, dir, "documents").withColumn("text", expr(nearDupIn))),
           minJaccard = 0.5)
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))),
 
@@ -613,7 +625,7 @@ object SparkEntry {
     // token-Jaccard disagree near their thresholds — CheckPairs)
     "emb_text_neardup" -> ((s, dir) => {
       val emb = graft.sim.HashEmbedder.withEmbedding(
-          tbl(s, dir, "documents").withColumn("text", expr(nearDupIn)))
+          spread(tbl(s, dir, "documents").withColumn("text", expr(nearDupIn))))
         .select("doc_id", "embedding")
       // probes=2: a cosine-0.9999 pair can still straddle a KMeans cell
       // boundary under single-probe blocking (observed once at sf0.1);
