@@ -104,6 +104,8 @@ object CommonCrawlApp {
     // per shard), and scoping the curation to EXACTLY the files this
     // run downloaded keeps stale files in a shared downloadDir out
     val localPaths = downloaded.select("local_path").collect().map(_.getString(0)).toSeq
+    require(localPaths.nonEmpty,
+      s"no WARC shards downloaded from ${dataUrls.size} urls (all fetches failed)")
     val nFiles = localPaths.size
 
     val records = WarcParser.read(spark, localPaths)

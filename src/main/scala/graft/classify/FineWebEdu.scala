@@ -112,7 +112,8 @@ object FineWebEdu {
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Model]()
-  private[classify] def load(path: String): Model = cache.computeIfAbsent(path, read)
+  private[classify] def load(path: String): Model =
+    cache.computeIfAbsent(path, p => read(Artifacts.resolve(p)))
 
   /** Marker tokens of the committed tiny artifact (predictions on
     * constructed input are exactly SQL-expressible: score =

@@ -51,7 +51,7 @@ final case class QualityClassifier(
 object QualityClassifier {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, FastTextBin.Model]()
   private def load(path: String): FastTextBin.Model =
-    cache.computeIfAbsent(path, p => FastTextBin.read(p))
+    cache.computeIfAbsent(path, p => FastTextBin.read(Artifacts.resolve(p)))
 
   /** The committed tiny artifact's marker token. */
   val TinyMarker = "zqualityzmarkerz"

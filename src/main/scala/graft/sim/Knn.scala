@@ -73,6 +73,11 @@ object Knn {
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
+    // fail fast on non-integral ids: a string id would cast to null and
+    // the aggregate would silently read every neighbor as id 0
+    val idType = scored.schema("neighbor_id").dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"top-k neighbor ids must be integral (got $idType); map ids to long first")
     val t = scored.select(col("query_id"),
       struct((-col("sim")).as("negsim"),
         col("neighbor_id").cast("long").as("neighbor_id")).as("_t"))

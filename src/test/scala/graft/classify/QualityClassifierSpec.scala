@@ -41,6 +41,25 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(uncapped == "__label__hq")
   }
 
+  test("artifact resolves from the classpath when the CWD-relative file is absent") {
+    // a path that exists in no working directory, but whose
+    // src/main/resources/ suffix IS a classpath resource
+    val ghost = s"/nonexistent/deploy/root/$artifact"
+    val resolved = Artifacts.resolve(ghost)
+    assert(resolved != ghost && java.nio.file.Files.exists(java.nio.file.Paths.get(resolved)))
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(resolved)),
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(artifact))))
+    // second resolve returns the cached extraction, and scoring through
+    // the ghost path works end to end
+    assert(Artifacts.resolve(ghost) == resolved)
+    val pred = QualityClassifier(ghost)
+      .score(Seq((1L, s"${QualityClassifier.TinyMarker} body")).toDF("doc_id", "text"))
+      .select("quality_pred").head.getString(0)
+    assert(pred == "__label__hq")
+    intercept[java.io.FileNotFoundException](Artifacts.resolve("no/such/resource.bin"))
+  }
+
   test("regenerating the artifact is byte-identical to the committed file") {
     val tmp = java.io.File.createTempFile("qtiny", ".bin").getPath
     QualityClassifier.writeTinyArtifact(tmp)
