@@ -169,6 +169,14 @@ object SparkEntry {
   // model can learn, so hq/lq scores separate decisively
   private val ftQualityIn =
     "CASE WHEN doc_id % 2 = 0 THEN text || ' zqualityzmarkerz' ELSE text END"
+  // ft_langid input: interleave the lang code as that language's
+  // "function word" between every pair of words — the raw testdata
+  // text is identically distributed across langs (no model could
+  // separate it), and a single appended marker loses to per-doc text
+  // noise (~300 chars over a ~30-word vocab). ~50 occurrences per doc
+  // give the planted lang a ~2000-log-unit NB margin at every sf, the
+  // way real languages separate on ubiquitous function words
+  private val ftLangIn = "replace(text, ' ', ' ' || lang || ' ')"
   // quality_classifier input: marker PREPENDED so max_chars truncation
   // can never drop it; the committed tiny artifact predicts
   // __label__hq exactly iff the marker token is present
@@ -708,21 +716,28 @@ object SparkEntry {
 
     "ft_langid" -> ((s, dir) => {
       // hashed char-ngram linear model trained on the table's own
-      // (lang, text) pairs; fastText-LangId contract output.
-      // rows-only BY NECESSITY: trained-model inference is not
-      // SQL-expressible, and no accuracy gate is possible on this
-      // testdata (the lang column is synthetic metadata over
-      // identically-distributed text — no model can separate it);
-      // the operator itself is covered by ModelsSpec/NewOpsSpec and
-      // the .bin end-to-end test
-      val docs = tbl(s, dir, "documents")
-      val train = docs.filter(col("doc_id") % 2 === 0)
+      // (lang, text) pairs; fastText-LangId contract output
+      // (filters/fasttext_filter.py:58-92). ORACLE-GATED: the input
+      // construction plants a per-lang marker (ftLangIn) so lang IS
+      // learnable, and the model trained on the even half must
+      // recover the planted lang for EVERY row — the oracle
+      // recomputes upper(lang) directly. (The probability column is
+      // model-internal and stays out of the compared output.)
+      val docs = tbl(s, dir, "documents").withColumn("text", expr(ftLangIn))
+      // CLASS-BALANCED training sample (first m docs per lang, m = the
+      // smallest class): multinomial-NB smoothing over unbalanced
+      // class totals drifts every shared text n-gram ~log((T1/(T1+B))·
+      // ((T2+B)/T2)) toward the majority class — ~0.28/token here,
+      // which over ~900 text n-grams per doc would swamp the marker
+      // margin. Equal totals zero the bias exactly.
+      val raw = docs.filter(col("doc_id") % 2 === 0)
         .select("doc_id", "lang", "text").orderBy("doc_id").limit(TrainCap)
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val perClass = raw.groupBy(_._1).values.map(_.size).min
+      val train = raw.groupBy(_._1).values.flatMap(_.take(perClass)).toSeq
       val model = graft.langid.CharNgramLangId.train(train, buckets = 1 << 14)
       graft.langid.FastTextFilters.withLangId(docs, model)
-        .select(col("doc_id"), col("langid.lang").as("lang_pred"),
-          round(col("langid.score"), 4).as("lang_score"))
+        .select(col("doc_id"), col("langid.lang").as("lang_pred"))
     }),
 
     "ft_quality" -> ((s, dir) => {
@@ -1348,6 +1363,12 @@ object SparkEntry {
                        WHEN doc_id % 2 = 0 THEN 4
                        ELSE 0 END AS int_score
            FROM documents""",
+
+      // per-row EXACT accuracy gate: the marker-planted lang (see
+      // ftLangIn) is the only separating signal, so a correct
+      // train->broadcast->predict path must emit it verbatim
+      "ft_langid" ->
+        "SELECT doc_id, upper(lang) AS lang_pred FROM documents",
 
       "ft_quality" ->
         "SELECT count(*) AS docs, true AS both_classes, true AS kept_scores_higher FROM documents",
