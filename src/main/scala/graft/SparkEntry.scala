@@ -182,6 +182,20 @@ object SparkEntry {
   // __label__hq exactly iff the marker token is present
   private val qcIn =
     "CASE WHEN doc_id % 2 = 0 THEN 'zqualityzmarkerz ' || text ELSE text END"
+  // domain / content-type inputs: one taxonomy marker per doc,
+  // prepended (inside the max_chars cap), cycling a few labels so
+  // both the argmax and the filter_by keep-set are SQL-replayable
+  private val domainIn =
+    """CASE CAST(doc_id % 4 AS INT)
+         WHEN 0 THEN 'zdomznews ' || text
+         WHEN 1 THEN 'zdomzsports ' || text
+         WHEN 2 THEN 'zdomzgames ' || text
+         ELSE 'zdomzhealth ' || text END"""
+  private val contentIn =
+    """CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN 'zctzblogs ' || text
+         WHEN 1 THEN 'zctznews ' || text
+         ELSE 'zctzreviews ' || text END"""
   /** Cascade-entry input construction, replicated verbatim in the
     * DuckDB oracle and tools/gen_reference_labels.py (labels are keyed
     * by md5 of THIS string): case 0 keepable enriched prose, case 1
@@ -712,6 +726,33 @@ object SparkEntry {
         .score(in)
         .select(col("doc_id"), col("preds"),
           round(col("float_score"), 4).as("float_score"), col("int_score"))
+    }),
+
+    // domain tagging with the reference docs' own filter_by example
+    // (["Games","Sports"]); committed artifact carries the published
+    // 26-domain taxonomy, marker i ⇒ label i with the constant prob
+    // e^5/(e^5+25) = 0.8558 (see DomainClassifier.writeTinyArtifact)
+    "domain_classifier" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("text", expr(domainIn))
+      graft.classify.DomainClassifier(
+          modelPath = "src/main/resources/models/domain_tiny.bin",
+          scoreField = Some("domain_prob"),
+          filterBy = Seq("Games", "Sports"))
+        .apply(docs)
+        .select(col("doc_id"), col("domain_pred"),
+          round(col("domain_prob"), 4).as("domain_prob"))
+    }),
+
+    // 11-class speech-type tagging (content_type.py contract,
+    // max_chars 5000); constant prob e^5/(e^5+10) = 0.9369
+    "content_type" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("text", expr(contentIn))
+      graft.classify.ContentTypeClassifier(
+          modelPath = "src/main/resources/models/content_tiny.bin",
+          scoreField = Some("content_prob"))
+        .score(docs)
+        .select(col("doc_id"), col("content_pred"),
+          round(col("content_prob"), 4).as("content_prob"))
     }),
 
     "ft_langid" -> ((s, dir) => {
@@ -1369,6 +1410,24 @@ object SparkEntry {
       // train->broadcast->predict path must emit it verbatim
       "ft_langid" ->
         "SELECT doc_id, upper(lang) AS lang_pred FROM documents",
+
+      // filter_by=["Games","Sports"] keeps doc_id%4 in (1,2); the
+      // marker row dominates the zero EOS prior so prob is the
+      // constant softmax e^5/(e^5+25) = 0.85583562 -> 0.8558
+      "domain_classifier" ->
+        """SELECT doc_id,
+                  CASE WHEN doc_id % 4 = 1 THEN 'Sports' ELSE 'Games' END AS domain_pred,
+                  0.8558 AS domain_prob
+           FROM documents WHERE doc_id % 4 IN (1, 2)""",
+
+      // 11-class softmax constant e^5/(e^5+10) = 0.93687393 -> 0.9369
+      "content_type" ->
+        """SELECT doc_id,
+                  CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'Blogs' WHEN 1 THEN 'News'
+                    ELSE 'Reviews' END AS content_pred,
+                  0.9369 AS content_prob
+           FROM documents""",
 
       "ft_quality" ->
         "SELECT count(*) AS docs, true AS both_classes, true AS kept_scores_higher FROM documents",

@@ -23,21 +23,8 @@ final case class QualityClassifier(
     maxChars: Int = 6000) {
 
   /** Add label (+ optional probability) columns. */
-  def score(df: DataFrame): DataFrame = {
-    val path = modelPath
-    val mc = maxChars
-    val u = udf((t: String) => {
-      if (t == null) ("", 0.0)
-      else {
-        // max_chars truncation before tokenization (base.py:139-147)
-        val clipped = if (mc > 0 && t.length > mc) t.substring(0, mc) else t
-        QualityClassifier.load(path).predict(clipped)
-      }
-    })
-    val scored = df.withColumn("_pred", u(col(textField)))
-      .withColumn(labelField, col("_pred._1"))
-    scoreField.fold(scored)(f => scored.withColumn(f, col("_pred._2"))).drop("_pred")
-  }
+  def score(df: DataFrame): DataFrame =
+    QualityClassifier.scoreWith(df, modelPath, labelField, scoreField, textField, maxChars)
 
   /** score + filter_by (base.py: keep rows whose predicted label is in
     * the list; empty list = scoring only).
@@ -52,6 +39,28 @@ object QualityClassifier {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, FastTextBin.Model]()
   private def load(path: String): FastTextBin.Model =
     cache.computeIfAbsent(path, p => FastTextBin.read(Artifacts.resolve(p)))
+
+  /** Shared scoring core for every DistributedDataClassifier-shaped
+    * contract (quality / domain / content-type): per-JVM model cache,
+    * max_chars truncation before tokenization (base.py:139-147),
+    * top-1 (label, probability) per row.
+    */
+  private[classify] def scoreWith(df: DataFrame, modelPath: String, labelField: String,
+                                  scoreField: Option[String], textField: String,
+                                  maxChars: Int): DataFrame = {
+    val path = modelPath
+    val mc = maxChars
+    val u = udf((t: String) => {
+      if (t == null) ("", 0.0)
+      else {
+        val clipped = if (mc > 0 && t.length > mc) t.substring(0, mc) else t
+        load(path).predict(clipped)
+      }
+    })
+    val scored = df.withColumn("_pred", u(col(textField)))
+      .withColumn(labelField, col("_pred._1"))
+    scoreField.fold(scored)(f => scored.withColumn(f, col("_pred._2"))).drop("_pred")
+  }
 
   /** The committed tiny artifact's marker token. */
   val TinyMarker = "zqualityzmarkerz"
