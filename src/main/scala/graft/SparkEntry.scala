@@ -196,6 +196,11 @@ object SparkEntry {
          WHEN 0 THEN 'zctzblogs ' || text
          WHEN 1 THEN 'zctznews ' || text
          ELSE 'zctzreviews ' || text END"""
+  // artifact-embedder input: two topic words (from the committed
+  // 16-vector artifact's vocab) around the OOV body — class =
+  // (doc_id%8, doc_id%5) ⇔ doc_id mod 40 by CRT
+  private val embArtIn =
+    "'ztopic' || cast(doc_id % 8 as string) || ' ' || text || ' ztopic' || cast(8 + doc_id % 5 as string)"
   /** Cascade-entry input construction, replicated verbatim in the
     * DuckDB oracle and tools/gen_reference_labels.py (labels are keyed
     * by md5 of THIS string): case 0 keepable enriched prose, case 1
@@ -654,6 +659,25 @@ object SparkEntry {
       // top-2 cells per point make a shared block certain at this margin
       graft.dedup.SemanticDedup.nearDupPairs(emb, k = 8, eps = 0.05, idCol = "doc_id", probes = 2)
         .select("src", "dst")
+    }),
+
+    // ARTIFACT-driven embedder tier: the committed word-vector matrix
+    // (mean-pool + L2-normalize, the reference embedder contract —
+    // embedders/base.py:88-94) embeds a doc tagged with topics {i, j}
+    // to (e_i+e_j)/√2, so the near-dup pair set through the full
+    // embed -> kmeans-block -> pairwise path is EXACTLY the same-class
+    // relation doc_id ≡ (mod 40) with cosine 1.0 (cross-class max is
+    // 0.5 — a deterministic margin around the 0.9 gate at every sf;
+    // identical vectors can never straddle a kmeans cell, and cells
+    // stay far under MaxCellSize through sf0.1)
+    "emb_artifact_neardup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("text", expr(embArtIn))
+      val emb = graft.sim.WordVecEmbedder.withEmbedding(
+          spread(docs), modelPath = "src/main/resources/models/embed_tiny.bin")
+        .select("doc_id", "embeddings")
+      graft.dedup.SemanticDedup.nearDupPairs(emb, k = 8, eps = 0.1,
+          idCol = "doc_id", vecCol = "embeddings")
+        .select(col("src"), col("dst"), round(col("cosine"), 4).as("cosine"))
     }),
 
     "emb_neardup" -> ((s, dir) => {
@@ -1419,6 +1443,14 @@ object SparkEntry {
                   CASE WHEN doc_id % 4 = 1 THEN 'Sports' ELSE 'Games' END AS domain_pred,
                   0.8558 AS domain_prob
            FROM documents WHERE doc_id % 4 IN (1, 2)""",
+
+      // same-class (doc_id mod 40) pairs at cosine exactly 1.0 — the
+      // one-hot topic construction makes the embedder's output
+      // SQL-replayable (see embArtIn / WordVecEmbedder.writeTinyArtifact)
+      "emb_artifact_neardup" ->
+        """SELECT a.doc_id AS src, b.doc_id AS dst, 1.0 AS cosine
+           FROM documents a JOIN documents b
+             ON a.doc_id < b.doc_id AND a.doc_id % 40 = b.doc_id % 40""",
 
       // 11-class softmax constant e^5/(e^5+10) = 0.93687393 -> 0.9369
       "content_type" ->

@@ -17,7 +17,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *      a temp file — the per-JVM model caches key on the returned
   *      temp path, so the copy happens at most once per executor.
   */
-private[classify] object Artifacts {
+private[graft] object Artifacts {
 
   private val extracted = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
