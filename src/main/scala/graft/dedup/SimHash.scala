@@ -78,14 +78,51 @@ object SimHash {
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming. Only (id, hash)
     * shuffles; band join is equi-join on 16-bit keys.
+    *
+    * The PAIRS contract is quadratic in true cliques (every member×
+    * member pair is an answer), but the candidate/shuffle stage needn't
+    * be: identical fingerprints collapse to one representative before
+    * the band self-join, and member pairs expand only at output — a
+    * 1000-doc identical-boilerplate clique contributes 1 banded row
+    * (not ~500k shuffled candidates); its C(1000,2) hamming-0 output
+    * pairs generate linearly per group row with no join. Cross-group
+    * pairs inherit their group pair's (constant) hamming, so the
+    * output is bit-identical to banding every member.
     */
   def nearDupPairs(df: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // eager localCheckpoint: the banded view self-joins (two consumers);
-    // a lazy cache() would stay pinned with no unpersist point
-    val fp = fingerprints(df, idCol, textCol).localCheckpoint(true)
-    bandedCandidates(fp.select(col(idCol).as("id"), col("simhash")),
+    // eager localCheckpoint: groups feeds the rep self-join and both
+    // expansion consumers — a lazy cache() would recompute the UDF
+    val groups = fingerprints(df, idCol, textCol)
+      .groupBy("simhash")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .localCheckpoint(true)
+
+    // intra-group: all C(|ids|, 2) pairs at hamming 0, generated
+    // per-row (combinations via nested transform — no self-join)
+    val intra = groups.filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+               struct(x as src, y as dst))))""")).as("e"))
+      .select(col("e.src"), col("e.dst"), lit(0).as("hamming"))
+
+    // cross-group: band over one rep per distinct fingerprint, then
+    // expand both member lists (ids are sorted; the smaller-first pair
+    // order of the member pair is restored with least/greatest)
+    val repPairs = bandedCandidates(
+      groups.select(col("ids").getItem(0).as("id"), col("simhash")),
       maxHamming, keepHamming = true)
+    val srcSide = groups.select(col("ids").getItem(0).as("src"), col("ids").as("_srcIds"))
+    val dstSide = groups.select(col("ids").getItem(0).as("dst"), col("ids").as("_dstIds"))
+    val cross = repPairs
+      .join(srcSide, "src").join(dstSide, "dst")
+      .select(explode(col("_srcIds")).as("_a"), col("_dstIds"), col("hamming"))
+      .select(col("_a"), explode(col("_dstIds")).as("_b"), col("hamming"))
+      .select(least(col("_a"), col("_b")).as("src"),
+        greatest(col("_a"), col("_b")).as("dst"), col("hamming"))
+
+    intra.union(cross)
   }
 
   /** Removal ids via connected components over near-dup pairs.
@@ -93,9 +130,9 @@ object SimHash {
     * Identical fingerprints are collapsed FIRST (consecutive-pair chain
     * per fingerprint group — linear), and the banded Hamming search runs
     * over one representative per distinct fingerprint. Web corpora have
-    * huge identical-boilerplate cliques: emitting all O(n²) intra-clique
-    * pairs (what [[nearDupPairs]] reports) melted a 5000-doc clique into
-    * 12.5M edges; the chain emits 4,999.
+    * huge identical-boilerplate cliques: a 5000-doc clique banded
+    * member-by-member melted into 12.5M candidate edges; the chain
+    * emits 4,999.
     */
   /** Candidate pairs verified by exact token-n-gram Jaccard — the
     * sketch-then-verify shape (same as MinHashLSH.verifiedPairs): the

@@ -50,6 +50,22 @@ class SimHashSpec extends AnyFunSuite {
     assert(pairs.filter(col("src") === 3000L || col("dst") === 3000L).count() == 0)
   }
 
+  test("public nearDupPairs on a planted 1000-doc clique: quadratic only at output, exact hammings") {
+    val clique = (0L until 1000L).map(i => (i, base))
+    val docs = (clique :+ (2000L, near) :+ (3000L, far)).toDF("doc_id", "text")
+    // the rep self-join input is 3 rows (one per distinct fingerprint,
+    // asserted in the test above); the public API's output keeps the
+    // full pairs contract
+    val pairs = SimHash.nearDupPairs(docs, maxHamming = 6)
+    val byHam = pairs.groupBy("hamming").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byHam(0) == 1000L * 999 / 2) // intra-clique
+    assert(byHam(5) == 1000L) // every member x the near doc at hamming 5
+    assert(byHam.values.sum == 1000L * 999 / 2 + 1000L)
+    assert(pairs.filter(col("src") >= col("dst")).count() == 0)
+    assert(pairs.filter(col("src") === 3000L || col("dst") === 3000L).count() == 0)
+  }
+
   test("collapsed path output == per-member banding output on a mixed corpus") {
     val docs = Seq(
       1L -> base, 2L -> base, 3L -> base,          // 3-clique (identical)
