@@ -694,6 +694,39 @@ object SparkEntry {
           col("meta.sha256").as("sha256"))
     }),
 
+    // image-pipeline scoring heads END TO END: per-row WebDataset
+    // shard roundtrip (tar build -> reader parse, the warc_roundtrip
+    // pattern) -> decode stub (UTF-8) -> committed word-vec embedder
+    // -> committed aesthetic head (keep score >= 10) -> committed NSFW
+    // sigmoid head (keep score < 0.5). With one-hot topic embeddings
+    // every score is a closed form of doc_id (see the oracle); the
+    // mixed-parity NSFW case lands EXACTLY on 0.5 (z = 4x - 4x = 0 in
+    // double) and is dropped by the reference's strict < threshold
+    "image_scoring" -> ((s, dir) => {
+      import s.implicits._
+      val rows = spread(tbl(s, dir, "documents").withColumn("text", expr(embArtIn)))
+        .select("doc_id", "text").as[(Long, String)]
+        .map { case (id, text) =>
+          val shard = graft.multimodal.WebDataset.buildShard(Seq(
+            (f"$id%08d", Map("jpg" -> text.getBytes("UTF-8"),
+              "json" -> s"""{"doc_id":$id}""".getBytes("UTF-8")))))
+          val (key, parts) = graft.multimodal.WebDataset
+            .iterateStream(new java.io.ByteArrayInputStream(shard)).next()
+          (id, key, new String(parts("jpg"), "UTF-8"))
+        }.toDF("doc_id", "key", "decoded")
+      val emb = graft.sim.WordVecEmbedder.withEmbedding(rows,
+        modelPath = "src/main/resources/models/embed_tiny.bin",
+        textCol = "decoded", outCol = "embedding")
+      val aes = graft.multimodal.ImageAestheticFilter(
+        "src/main/resources/models/aesthetic_tiny.bin", scoreThreshold = 10.0)
+      val nsfw = graft.multimodal.ImageNsfwFilter(
+        "src/main/resources/models/nsfw_tiny.bin")
+      nsfw(aes(emb))
+        .select(col("doc_id"), col("key"),
+          round(col("aesthetic_score"), 4).as("aesthetic_score"),
+          round(col("nsfw_score"), 4).as("nsfw_score"))
+    }),
+
     // ================= model-backed filters =================
     // Training-data acquisition is BOUNDED: orderBy(doc_id)+limit(N)
     // compiles to TakeOrderedAndProject (per-partition partial top-N) —
@@ -1443,6 +1476,20 @@ object SparkEntry {
                   CASE WHEN doc_id % 4 = 1 THEN 'Sports' ELSE 'Games' END AS domain_pred,
                   0.8558 AS domain_prob
            FROM documents WHERE doc_id % 4 IN (1, 2)""",
+
+      // closed forms of the committed heads over one-hot topic
+      // embeddings (x = 0.7071067690849304, the double value of the
+      // stored float 1/√2): aesthetic = (doc_id%8+1 + doc_id%5+9)·x,
+      // kept iff >= 10 ⇔ doc_id%8 + doc_id%5 >= 5; NSFW =
+      // sigmoid((±4 ±4)·x), kept (< 0.5) iff both topic indices odd
+      "image_scoring" ->
+        """SELECT doc_id,
+                  lpad(cast(doc_id AS varchar), 8, '0') AS key,
+                  round((doc_id % 8 + doc_id % 5 + 10) * 0.7071067690849304, 4) AS aesthetic_score,
+                  round(1.0 / (1.0 + exp(8 * 0.7071067690849304)), 4) AS nsfw_score
+           FROM documents
+           WHERE doc_id % 8 + doc_id % 5 >= 5
+             AND doc_id % 8 % 2 = 1 AND doc_id % 5 % 2 = 1""",
 
       // same-class (doc_id mod 40) pairs at cosine exactly 1.0 — the
       // one-hot topic construction makes the embedder's output
