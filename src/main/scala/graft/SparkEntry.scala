@@ -727,6 +727,26 @@ object SparkEntry {
           round(col("nsfw_score"), 4).as("nsfw_score"))
     }),
 
+    // video motion-filter decision logic over the injected-decode
+    // posture: constant per-pixel flow (a, 0) with a = (doc_id%10)·2⁻⁹
+    // (exact in float32) on a 2×2 frame gives global_mean =
+    // per_patch_min = (doc_id%10)·2⁻¹¹ exactly, so the keep rule
+    // (gm ≥ 0.00098 AND pp ≥ 1e-6; k=2 → 0.0009765625 sits just BELOW
+    // the gm threshold) and the failed-decode fake-score path
+    // (doc_id%13 = 0 → null frames → -1/-1, dropped) replay in SQL
+    "video_motion" -> ((s, dir) => {
+      val a = ((col("doc_id") % 10).cast("double") * lit(0.001953125)).cast("float")
+      val zf = lit(0.0).cast("float")
+      val frame = array(a, zf, a, zf, a, zf, a, zf) // 2×2 pixels × (vx, vy)
+      val clips = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, lit(null))
+          .otherwise(array(frame, frame)).as("decoded_motion_data"))
+      graft.video.MotionFilter.filterClips(clips, h = 2, w = 2)
+        .select(col("doc_id"),
+          round(col("motion_score_global_mean"), 6).as("motion_score_global_mean"),
+          round(col("motion_score_per_patch_min_256"), 6).as("motion_score_per_patch_min_256"))
+    }),
+
     // ================= model-backed filters =================
     // Training-data acquisition is BOUNDED: orderBy(doc_id)+limit(N)
     // compiles to TakeOrderedAndProject (per-partition partial top-N) —
@@ -1476,6 +1496,17 @@ object SparkEntry {
                   CASE WHEN doc_id % 4 = 1 THEN 'Sports' ELSE 'Games' END AS domain_pred,
                   0.8558 AS domain_prob
            FROM documents WHERE doc_id % 4 IN (1, 2)""",
+
+      // kept clips: decode ok (doc_id%13 != 0) and k = doc_id%10 >= 3
+      // (k·2⁻¹¹: k=2 = 0.0009765625 < 0.00098 is small-motion; k=0
+      // also fails the per-patch 1e-6 floor); both scores equal by
+      // construction (one 2×2 patch)
+      "video_motion" ->
+        """SELECT doc_id,
+                  round((doc_id % 10) * CAST(0.00048828125 AS DOUBLE), 6) AS motion_score_global_mean,
+                  round((doc_id % 10) * CAST(0.00048828125 AS DOUBLE), 6) AS motion_score_per_patch_min_256
+           FROM documents
+           WHERE doc_id % 13 != 0 AND doc_id % 10 >= 3""",
 
       // closed forms of the committed heads over one-hot topic
       // embeddings (x = 0.7071067690849304, the double value of the
