@@ -832,6 +832,32 @@ object SparkEntry {
           round(col("content_prob"), 4).as("content_prob"))
     }),
 
+    // AEGIS safety contract: verbatim LlamaGuard prompt wrap -> LLM
+    // seam -> reference response parsing -> label. The zero-egress
+    // fixture LLM answers FROM THE WRAPPED MESSAGE (messageOf asserts
+    // the byte-verbatim template around it on every row), and the
+    // response set exercises all parse branches: safe, valid category,
+    // unsafe-without-category -> unknown, free text -> unknown
+    "aegis_classifier" -> ((s, dir) => {
+      val fixtureGuard: String => String = { p =>
+        val m = graft.classify.Aegis.messageOf(p)
+        if (m.startsWith("aegisviolence")) "unsafe\nO1"
+        else if (m.startsWith("aegiscaution")) "unsafe\nO13"
+        else if (m.startsWith("aegisbare")) "unsafe"
+        else if (m.startsWith("aegisramble")) "Well, it reads fine to me."
+        else "safe"
+      }
+      val docs = tbl(s, dir, "documents").withColumn("text", expr(
+        """CASE CAST(doc_id % 5 AS INT)
+             WHEN 1 THEN 'aegisviolence ' || text
+             WHEN 2 THEN 'aegiscaution ' || text
+             WHEN 3 THEN 'aegisbare ' || text
+             WHEN 4 THEN 'aegisramble ' || text
+             ELSE text END"""))
+      graft.classify.AegisClassifier(fixtureGuard)(docs)
+        .select(col("doc_id"), col("aegis_pred"))
+    }),
+
     "ft_langid" -> ((s, dir) => {
       // hashed char-ngram linear model trained on the table's own
       // (lang, text) pairs; fastText-LangId contract output
@@ -1487,6 +1513,15 @@ object SparkEntry {
       // train->broadcast->predict path must emit it verbatim
       "ft_langid" ->
         "SELECT doc_id, upper(lang) AS lang_pred FROM documents",
+
+      // parse decision table over the fixture LlamaGuard's responses
+      "aegis_classifier" ->
+        """SELECT doc_id,
+                  CASE CAST(doc_id % 5 AS INT)
+                    WHEN 1 THEN 'O1' WHEN 2 THEN 'O13'
+                    WHEN 3 THEN 'unknown' WHEN 4 THEN 'unknown'
+                    ELSE 'safe' END AS aegis_pred
+           FROM documents""",
 
       // filter_by=["Games","Sports"] keeps doc_id%4 in (1,2); the
       // marker row dominates the zero EOS prior so prob is the
