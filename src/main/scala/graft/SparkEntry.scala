@@ -858,6 +858,27 @@ object SparkEntry {
         .select(col("doc_id"), col("aegis_pred"))
     }),
 
+    // prompt task & complexity contract: 11 output fields from the
+    // committed multi-head GPTC artifact over the committed word-vec
+    // embeddings — top-2 task types (the equal-logit tail yields the
+    // stable index order and prob 0.333; dominant-topic docs yield
+    // 0.998 with the second label collapsing to NA), the seven
+    // weighted-softmax dimensions (exactly one fires to 0.9954 per
+    // doc via doc_id%5; no_label_reason/constraint_ct read dims the
+    // construction never sets and stay 0.5), and the reference's
+    // weighted complexity sum rounded half-even to 5dp
+    "prompt_task_complexity" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("text", expr(embArtIn))
+      val emb = graft.sim.WordVecEmbedder.withEmbedding(spread(docs),
+        modelPath = "src/main/resources/models/embed_tiny.bin", outCol = "embedding")
+      graft.classify.PromptTaskComplexity.score(emb,
+          "src/main/resources/models/ptc_tiny.bin")
+        .select(col("doc_id"), col("prompt_complexity_score"), col("task_type_1"),
+          col("task_type_2"), col("task_type_prob"), col("creativity_scope"),
+          col("reasoning"), col("contextual_knowledge"), col("number_of_few_shots"),
+          col("domain_knowledge"), col("no_label_reason"), col("constraint_ct"))
+    }),
+
     "ft_langid" -> ((s, dir) => {
       // hashed char-ngram linear model trained on the table's own
       // (lang, text) pairs; fastText-LangId contract output
@@ -1522,6 +1543,33 @@ object SparkEntry {
                     WHEN 3 THEN 'unknown' WHEN 4 THEN 'unknown'
                     ELSE 'safe' END AS aegis_pred
            FROM documents""",
+
+      // closed forms over (m8 = doc_id%8 picking the task head,
+      // m5 = doc_id%5 picking which complexity head fires to 0.9965);
+      // the complexity sum replays in the reference's exact operand
+      // order so the round-half-even 5dp values are bit-identical
+      "prompt_task_complexity" ->
+        """WITH b AS (
+             SELECT doc_id, doc_id % 8 AS m8,
+                    CASE WHEN doc_id % 5 = 0 THEN CAST(0.9954 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS cs,
+                    CASE WHEN doc_id % 5 = 1 THEN CAST(0.9954 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS re,
+                    CASE WHEN doc_id % 5 = 2 THEN CAST(0.9954 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS ck,
+                    CASE WHEN doc_id % 5 = 3 THEN CAST(0.9954 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS fs,
+                    CASE WHEN doc_id % 5 = 4 THEN CAST(0.9954 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END AS dk
+             FROM documents)
+           SELECT doc_id,
+                  round_even(CAST(0.35 AS DOUBLE)*cs + CAST(0.25 AS DOUBLE)*re
+                    + CAST(0.15 AS DOUBLE)*CAST(0.5 AS DOUBLE) + CAST(0.15 AS DOUBLE)*dk
+                    + CAST(0.05 AS DOUBLE)*ck + CAST(0.05 AS DOUBLE)*fs, 5) AS prompt_complexity_score,
+                  CASE m8 WHEN 1 THEN 'Generation' WHEN 2 THEN 'Summarization'
+                    ELSE 'Classification' END AS task_type_1,
+                  CASE WHEN m8 <= 2 THEN 'NA' ELSE 'Generation' END AS task_type_2,
+                  CASE WHEN m8 <= 2 THEN CAST(0.998 AS DOUBLE) ELSE CAST(0.333 AS DOUBLE) END AS task_type_prob,
+                  cs AS creativity_scope, re AS reasoning, ck AS contextual_knowledge,
+                  fs AS number_of_few_shots, dk AS domain_knowledge,
+                  CAST(0.5 AS DOUBLE) AS no_label_reason,
+                  CAST(0.5 AS DOUBLE) AS constraint_ct
+           FROM b""",
 
       // filter_by=["Games","Sports"] keeps doc_id%4 in (1,2); the
       // marker row dominates the zero EOS prior so prob is the
