@@ -879,6 +879,23 @@ object SparkEntry {
           col("domain_knowledge"), col("no_label_reason"), col("constraint_ct"))
     }),
 
+    // instruction-data-guard: sigmoid GLIN head (the committed
+    // parity head doubles as the guard artifact — the slot is
+    // model-agnostic) over the committed word-vec embeddings;
+    // is_poisoned = score >= 0.5, so the EXACT mixed-parity 0.5 case
+    // lands poisoned (>=, unlike the NSFW filter's strict <)
+    "instruction_data_guard" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("text", expr(embArtIn))
+      val emb = graft.sim.WordVecEmbedder.withEmbedding(spread(docs),
+        modelPath = "src/main/resources/models/embed_tiny.bin", outCol = "embedding")
+      graft.classify.InstructionDataGuard("src/main/resources/models/nsfw_tiny.bin")
+        .score(emb)
+        .select(col("doc_id"),
+          round(col("instruction_data_guard_poisoning_score"), 4)
+            .as("instruction_data_guard_poisoning_score"),
+          col("is_poisoned"))
+    }),
+
     "ft_langid" -> ((s, dir) => {
       // hashed char-ngram linear model trained on the table's own
       // (lang, text) pairs; fastText-LangId contract output
@@ -1534,6 +1551,16 @@ object SparkEntry {
       // train->broadcast->predict path must emit it verbatim
       "ft_langid" ->
         "SELECT doc_id, upper(lang) AS lang_pred FROM documents",
+
+      // sigmoid closed forms over topic parities; >= keeps the exact
+      // 0.5 mixed case poisoned
+      "instruction_data_guard" ->
+        """SELECT doc_id,
+                  CASE WHEN doc_id % 8 % 2 = 0 AND doc_id % 5 % 2 = 0 THEN CAST(0.9965 AS DOUBLE)
+                       WHEN doc_id % 8 % 2 = 1 AND doc_id % 5 % 2 = 1 THEN CAST(0.0035 AS DOUBLE)
+                       ELSE CAST(0.5 AS DOUBLE) END AS instruction_data_guard_poisoning_score,
+                  NOT (doc_id % 8 % 2 = 1 AND doc_id % 5 % 2 = 1) AS is_poisoned
+           FROM documents""",
 
       // parse decision table over the fixture LlamaGuard's responses
       "aegis_classifier" ->

@@ -48,6 +48,30 @@ final case class AegisClassifier(
   }
 }
 
+/** InstructionDataGuardClassifier contract (aegis.py:478-600 +
+  * create_output_dataframe:220-227): a sigmoid probability head over
+  * the pooled representation emitting
+  * `instruction_data_guard_poisoning_score` plus
+  * `is_poisoned = score >= 0.5`. The AEGIS-hidden-state MLP
+  * (InstructionDataGuardNet, aegis.py:53-77) is GPU-bound; here the
+  * head is a GLIN sigmoid artifact over an embedding column — real
+  * exported weights drop into the same slot.
+  */
+final case class InstructionDataGuard(
+    modelPath: String,
+    labelField: String = "is_poisoned",
+    scoreField: String = "instruction_data_guard_poisoning_score",
+    embeddingCol: String = "embedding") {
+
+  def score(df: DataFrame): DataFrame = {
+    val path = modelPath
+    val u = udf((e: Seq[Float]) =>
+      if (e == null) 0.0 else graft.multimodal.LinearHead.load(path).score(e))
+    df.withColumn(scoreField, u(col(embeddingCol)))
+      .withColumn(labelField, col(scoreField) >= 0.5)
+  }
+}
+
 object Aegis {
 
   /** aegis_utils.py AEGIS_LABELS — position 0/1 are the non-category

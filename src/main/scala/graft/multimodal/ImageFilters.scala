@@ -53,7 +53,7 @@ object LinearHead {
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Model]()
-  private[multimodal] def load(path: String): Model =
+  private[graft] def load(path: String): Model =
     cache.computeIfAbsent(path, p => read(graft.classify.Artifacts.resolve(p)))
 }
 

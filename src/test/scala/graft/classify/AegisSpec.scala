@@ -30,6 +30,20 @@ class AegisSpec extends AnyFunSuite {
     assert(Aegis.Labels.length == 15 && Aegis.Labels.take(2) == Seq("unknown", "safe"))
   }
 
+  test("instruction data guard: score + is_poisoned with >= 0.5 boundary") {
+    val e = (i: Int, j: Int) => {
+      val v = new Array[Float](16)
+      v(i) = 0.70710677f; v(j) = 0.70710677f
+      v.toSeq
+    }
+    val df = Seq((1L, e(0, 8)), (2L, e(1, 9)), (3L, e(0, 9))).toDF("id", "embedding")
+    val out = InstructionDataGuard("src/main/resources/models/nsfw_tiny.bin").score(df)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L)._2 && out(1L)._1 > 0.99)           // both-even: poisoned
+    assert(!out(2L)._2 && out(2L)._1 < 0.01)          // both-odd: clean
+    assert(out(3L) == (0.5, true))                    // exact 0.5 -> >= keeps it poisoned
+  }
+
   test("stage: max_chars before wrapping, filter_by, keep_raw_output") {
     // fixture guard flags any message CONTAINING the marker; the marker
     // sits beyond max_chars in doc 2, so truncation must hide it
