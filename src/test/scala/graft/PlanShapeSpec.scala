@@ -122,6 +122,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("classifier + embedder + scoring-head tiers are ZERO-exchange pure maps") {
+    // quality/domain/content-type/fineweb/idg + the artifact embedder
+    // and the image heads: all broadcast-model per-row scoring —
+    // a shuffle appearing here would be a 100 TB regression
+    val chain = {
+      val emb = graft.sim.WordVecEmbedder.withEmbedding(docs,
+        "src/main/resources/models/embed_tiny.bin", outCol = "embedding")
+      val scored = graft.classify.InstructionDataGuard(
+        "src/main/resources/models/nsfw_tiny.bin").score(
+        graft.multimodal.ImageNsfwFilter("src/main/resources/models/nsfw_tiny.bin").score(
+          graft.multimodal.ImageAestheticFilter(
+            "src/main/resources/models/aesthetic_tiny.bin").score(emb)))
+      graft.classify.ContentTypeClassifier("src/main/resources/models/content_tiny.bin")(
+        graft.classify.DomainClassifier("src/main/resources/models/domain_tiny.bin",
+          filterBy = Seq("Games", "Sports"))(
+          graft.classify.QualityClassifier("src/main/resources/models/quality_tiny.bin")(scored)))
+    }
+    assert(shuffles(chain).isEmpty, planString(chain))
+  }
+
+  test("prompt_task_complexity and video motion filter stay zero-exchange") {
+    val ptc = graft.classify.PromptTaskComplexity.score(
+      graft.sim.WordVecEmbedder.withEmbedding(docs,
+        "src/main/resources/models/embed_tiny.bin", outCol = "embedding"),
+      "src/main/resources/models/ptc_tiny.bin")
+    assert(shuffles(ptc).isEmpty, planString(ptc))
+
+    val clips = docs.select($"doc_id",
+      array(array(lit(0.1f), lit(0f))).as("decoded_motion_data"))
+    val motion = graft.video.MotionFilter.filterClips(clips, h = 1, w = 1)
+    assert(shuffles(motion).isEmpty, planString(motion))
+  }
+
   test("filter pushdown and column pruning reach the parquet scan") {
     val q = docs.filter($"doc_id" > 100).select("doc_id")
     val scan = q.queryExecution.executedPlan.toString
