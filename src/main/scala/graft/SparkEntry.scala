@@ -747,6 +747,20 @@ object SparkEntry {
           round(col("motion_score_per_patch_min_256"), 6).as("motion_score_per_patch_min_256"))
     }),
 
+    // caption-preparation windowing: n = doc_id·7 % 700 sweeps every
+    // branch at every sf (below-min-frames drop, single window,
+    // remainder >= threshold as its own window, small remainder
+    // merged into the last full window, three windows); the verbatim
+    // prompt's byte fidelity is pinned in CaptioningSpec, the oracle
+    // checks its length rides every window row
+    "video_caption_windows" -> ((s, dir) => {
+      val clips = tbl(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") * 7 % 700).cast("int").as("total_frames"))
+      graft.video.Captioning.prepareWindows(clips)
+        .select(col("doc_id"), col("window_start"), col("window_end"),
+          length(col("caption_prompt")).as("prompt_len"))
+    }),
+
     // ================= model-backed filters =================
     // Training-data acquisition is BOUNDED: orderBy(doc_id)+limit(N)
     // compiles to TakeOrderedAndProject (per-partition partial top-N) —
@@ -1606,6 +1620,22 @@ object SparkEntry {
                   CASE WHEN doc_id % 4 = 1 THEN 'Sports' ELSE 'Games' END AS domain_pred,
                   0.8558 AS domain_prob
            FROM documents WHERE doc_id % 4 IN (1, 2)""",
+
+      // window closed forms for size 256 / threshold 128 over
+      // n = doc_id·7 % 700 (merge-into-last ⇔ 0 < n%256 < 128)
+      "video_caption_windows" -> {
+        val plen = graft.video.Captioning.prompt().length
+        s"""WITH c AS (SELECT doc_id, CAST(doc_id * 7 % 700 AS INT) AS n FROM documents)
+            SELECT doc_id, 0 AS window_start,
+                   CASE WHEN n <= 383 THEN n - 1 ELSE 255 END AS window_end,
+                   $plen AS prompt_len
+            FROM c WHERE n >= 4
+            UNION ALL
+            SELECT doc_id, 256, CASE WHEN n <= 639 THEN n - 1 ELSE 511 END, $plen
+            FROM c WHERE n >= 384
+            UNION ALL
+            SELECT doc_id, 512, n - 1, $plen FROM c WHERE n >= 640"""
+      },
 
       // kept clips: decode ok (doc_id%13 != 0) and k = doc_id%10 >= 3
       // (k·2⁻¹¹: k=2 = 0.0009765625 < 0.00098 is small-motion; k=0
