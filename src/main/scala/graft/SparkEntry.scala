@@ -761,6 +761,34 @@ object SparkEntry {
           length(col("caption_prompt")).as("prompt_len"))
     }),
 
+    // TransNetV2 post-processing: planted transition frames at every
+    // 10th index -> exact scene spans incl. the trailing-scene rule
+    "video_scene_clips" -> ((s, dir) => {
+      val clips = tbl(s, dir, "documents").select(col("doc_id"), expr(
+        """transform(sequence(0, 39 + CAST(doc_id % 60 AS INT)),
+             i -> CASE WHEN i > 0 AND i % 10 = 0 THEN 1 ELSE 0 END)""").as("predictions"))
+      graft.video.SceneClips.clipsFromPredictions(clips)
+        .select(col("doc_id"), col("clip_start"), col("clip_end"))
+    }),
+
+    // clip-level aesthetic gate: two frame embeddings per clip from
+    // the committed artifacts, mean reduction, keep >= 10 — scores
+    // are closed forms of doc_id (cannot land exactly on the
+    // threshold: k·x/2 = 10 has no integer solution)
+    "video_clip_aesthetic" -> ((s, dir) => {
+      val docs = spread(tbl(s, dir, "documents")).select(col("doc_id"),
+        expr("'ztopic' || cast(doc_id % 8 as string) || ' ztopic' || cast(8 + doc_id % 5 as string)").as("_f1"),
+        expr("'ztopic' || cast(doc_id % 8 as string) || ' ztopic' || cast(8 + (doc_id + 1) % 5 as string)").as("_f2"))
+      val emb = graft.sim.WordVecEmbedder.withEmbedding(
+        graft.sim.WordVecEmbedder.withEmbedding(docs,
+          "src/main/resources/models/embed_tiny.bin", textCol = "_f1", outCol = "_e1"),
+        "src/main/resources/models/embed_tiny.bin", textCol = "_f2", outCol = "_e2")
+        .withColumn("frame_embeddings", array(col("_e1"), col("_e2")))
+      graft.video.ClipAestheticFilter("src/main/resources/models/aesthetic_tiny.bin",
+          scoreThreshold = 10.0, reduction = "mean")(emb)
+        .select(col("doc_id"), round(col("aesthetic_score"), 4).as("aesthetic_score"))
+    }),
+
     // ================= model-backed filters =================
     // Training-data acquisition is BOUNDED: orderBy(doc_id)+limit(N)
     // compiles to TakeOrderedAndProject (per-partition partial top-N) —
@@ -1636,6 +1664,35 @@ object SparkEntry {
             UNION ALL
             SELECT doc_id, 512, n - 1, $plen FROM c WHERE n >= 640"""
       },
+
+      // scene spans for transitions at every 10th frame over
+      // n = 40 + doc_id%60 frames: first scene (0,10), interior
+      // scenes (10j+1, 10j+10), trailing (10⌊(n-1)/10⌋+1, n-1)
+      // unless the last frame is itself a transition
+      "video_scene_clips" ->
+        """WITH c AS (SELECT doc_id, 40 + CAST(doc_id % 60 AS INT) AS n FROM documents),
+                js AS (SELECT range AS j FROM range(0, 10))
+           SELECT doc_id,
+                  CASE WHEN j = 0 THEN 0 ELSE 10*j + 1 END AS clip_start,
+                  10*(j+1) AS clip_end
+           FROM c, js WHERE 10*(j+1) <= n - 1
+           UNION ALL
+           SELECT doc_id, 10*((n-1)//10) + 1, n - 1
+           FROM c WHERE (n-1) % 10 != 0""",
+
+      // mean of the two frame scores in the head's exact double
+      // arithmetic (x = the stored-float 1/√2 as double)
+      "video_clip_aesthetic" ->
+        """WITH b AS (SELECT doc_id,
+                  CAST(doc_id % 8 AS INT) AS m8, CAST(doc_id % 5 AS INT) AS m5,
+                  CAST((doc_id + 1) % 5 AS INT) AS m5b
+             FROM documents),
+           s AS (SELECT doc_id,
+                  0.0 + (m8+1)*0.7071067690849304 + (m5+9)*0.7071067690849304 AS s1,
+                  0.0 + (m8+1)*0.7071067690849304 + (m5b+9)*0.7071067690849304 AS s2
+             FROM b)
+           SELECT doc_id, round((s1 + s2)/2, 4) AS aesthetic_score
+           FROM s WHERE (s1 + s2)/2 >= 10.0""",
 
       // kept clips: decode ok (doc_id%13 != 0) and k = doc_id%10 >= 3
       // (k·2⁻¹¹: k=2 = 0.0009765625 < 0.00098 is small-motion; k=0

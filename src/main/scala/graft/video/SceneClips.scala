@@ -1,0 +1,100 @@
+package graft.video
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TransNetV2 clip-extraction POST-PROCESSING — the pure scene logic
+  * of TransNetV2ClipExtractionStage
+  * (stages/video/clipping/transnetv2_extraction.py:195-325): the shot
+  * NN emits a per-frame 0/1 transition array (the model slot); scenes
+  * derive from transition edges, then filter by max-length
+  * (truncate, or stride into max_length spans dropping a final
+  * sub-min-length remainder), optional start/end cropping, and a
+  * min-length floor. All ported exactly, including the
+  * trailing-scene and entire-scene-as-clip rules.
+  */
+object SceneClips {
+
+  /** _get_scenes (transnetv2_extraction.py:195-226): a scene opens at
+    * the frame after a 1→0 edge and closes at the next 0→1 edge; a
+    * trailing open scene closes at the last frame; with no
+    * transitions, optionally the whole video is one scene.
+    */
+  def scenesFromPredictions(predictions: Seq[Int],
+                            entireSceneAsClip: Boolean = true): Seq[(Int, Int)] = {
+    val scenes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var tPrev = 0
+    var t = -1
+    var start = 0
+    var i = -1
+    predictions.foreach { p =>
+      i += 1
+      t = p
+      if (tPrev == 1 && t == 0) start = i
+      if (tPrev == 0 && t == 1 && i != 0) scenes += ((start, i))
+      tPrev = t
+    }
+    if (scenes.nonEmpty && t == 0) scenes += ((start, i))
+    if (scenes.isEmpty && entireSceneAsClip) scenes += ((0, predictions.length))
+    scenes.toSeq
+  }
+
+  /** _create_spans (transnetv2_extraction.py:299-325): consecutive
+    * max_length spans; a final span under min_length is dropped.
+    */
+  def createSpans(start: Int, end: Int, maxLength: Int,
+                  minLength: Option[Int]): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var cur = start
+    var done = false
+    while (cur < end && !done) {
+      val curEnd = math.min(cur + maxLength, end)
+      if (minLength.exists(m => curEnd - cur < m) && curEnd == end) done = true
+      else { spans += ((cur, curEnd)); cur = curEnd }
+    }
+    spans.toSeq
+  }
+
+  /** _crop_scenes: shrink both ends, dropping non-positive scenes. */
+  def cropScenes(scenes: Seq[(Int, Int)], cropLength: Int): Seq[(Int, Int)] =
+    scenes.map { case (s, e) => (s + cropLength, e - cropLength) }
+      .filter { case (s, e) => e - s > 0 }
+
+  /** _get_filtered_scenes (transnetv2_extraction.py:229-280): order is
+    * max-length (truncate | stride) → crop → min-length.
+    */
+  def filterScenes(scenes: Seq[(Int, Int)], minLength: Option[Int] = None,
+                   maxLength: Option[Int] = None,
+                   maxLengthMode: String = "truncate",
+                   cropLength: Option[Int] = None): Seq[(Int, Int)] = {
+    val afterMax = maxLength match {
+      case None => scenes
+      case Some(ml) => maxLengthMode match {
+        case "truncate" => scenes.map { case (s, e) => (s, math.min(s + ml, e)) }
+        case "stride" => scenes.flatMap { case (s, e) => createSpans(s, e, ml, minLength) }
+        case other => throw new NotImplementedError(s"Method `$other` not implemented!")
+      }
+    }
+    val afterCrop = cropLength.fold(afterMax)(c => cropScenes(afterMax, c))
+    minLength.fold(afterCrop)(m => afterCrop.filter { case (s, e) => e - s >= m })
+  }
+
+  /** DataFrame stage: explode per-video transition predictions into
+    * clip-span rows (clip_start, clip_end). Pure per-row work.
+    */
+  def clipsFromPredictions(df: DataFrame, predictionsCol: String = "predictions",
+                           entireSceneAsClip: Boolean = true,
+                           minLength: Option[Int] = None,
+                           maxLength: Option[Int] = None,
+                           maxLengthMode: String = "truncate",
+                           cropLength: Option[Int] = None): DataFrame = {
+    val esc = entireSceneAsClip
+    val u = udf((p: Seq[Int]) =>
+      filterScenes(scenesFromPredictions(p, esc), minLength, maxLength,
+        maxLengthMode, cropLength))
+    df.withColumn("_sc", explode(u(col(predictionsCol))))
+      .withColumn("clip_start", col("_sc._1"))
+      .withColumn("clip_end", col("_sc._2"))
+      .drop("_sc")
+  }
+}
