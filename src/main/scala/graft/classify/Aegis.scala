@@ -67,6 +67,7 @@ final case class InstructionDataGuard(
     val path = modelPath
     val u = udf((e: Seq[Float]) =>
       if (e == null) 0.0 else graft.multimodal.LinearHead.load(path).score(e))
+      .asNondeterministic()
     df.withColumn(scoreField, u(col(embeddingCol)))
       .withColumn(labelField, col(scoreField) >= 0.5)
   }
@@ -101,6 +102,9 @@ object Aegis {
     * one category id, else unknown; anything else → unknown.
     */
   def parseResponse(raw: String): String = {
+    // a null completion (failed endpoint) is "anything else" -> the
+    // decision table's unknown branch, never an executor NPE
+    if (raw == null) return "unknown"
     val lines = raw.split("\n", -1)
     if (PyText.strip(lines(0)) == "safe") "safe"
     else if (PyText.strip(lines(0)) == "unsafe") {

@@ -26,10 +26,8 @@ final case class DomainClassifier(
   def score(df: DataFrame): DataFrame =
     QualityClassifier.scoreWith(df, modelPath, labelField, scoreField, textField, maxChars)
 
-  def apply(df: DataFrame): DataFrame = {
-    val scored = score(df)
-    if (filterBy.isEmpty) scored else scored.filter(col(labelField).isin(filterBy: _*))
-  }
+  def apply(df: DataFrame): DataFrame =
+    QualityClassifier.keepLabels(score(df), labelField, filterBy)
 }
 
 /** domain.py:80-129 — same contract and taxonomy over 52 languages;
@@ -46,10 +44,8 @@ final case class MultilingualDomainClassifier(
   def score(df: DataFrame): DataFrame =
     QualityClassifier.scoreWith(df, modelPath, labelField, scoreField, textField, maxChars)
 
-  def apply(df: DataFrame): DataFrame = {
-    val scored = score(df)
-    if (filterBy.isEmpty) scored else scored.filter(col(labelField).isin(filterBy: _*))
-  }
+  def apply(df: DataFrame): DataFrame =
+    QualityClassifier.keepLabels(score(df), labelField, filterBy)
 }
 
 /** content_type.py:28-78 — 11 speech types, max_chars 5000. */
@@ -64,10 +60,8 @@ final case class ContentTypeClassifier(
   def score(df: DataFrame): DataFrame =
     QualityClassifier.scoreWith(df, modelPath, labelField, scoreField, textField, maxChars)
 
-  def apply(df: DataFrame): DataFrame = {
-    val scored = score(df)
-    if (filterBy.isEmpty) scored else scored.filter(col(labelField).isin(filterBy: _*))
-  }
+  def apply(df: DataFrame): DataFrame =
+    QualityClassifier.keepLabels(score(df), labelField, filterBy)
 }
 
 object DomainClassifier {

@@ -143,7 +143,7 @@ object PromptTaskComplexity {
         m.score(if (x == null) Seq.fill(m.dim)(0f) else x)
       (complexity, t1, t2, p1, scores(0), scores(1), scores(2), scores(3),
         scores(4), scores(5), scores(6))
-    })
+    }).asNondeterministic() // 11 output refs to one struct: keep the multi-head pass single-eval
     val named = Seq("prompt_complexity_score", "task_type_1", "task_type_2",
       "task_type_prob") ++ ScoreFields
     named.zipWithIndex.foldLeft(df.withColumn("_ptc", u(col(embeddingCol)))) {

@@ -29,13 +29,18 @@ final case class QualityClassifier(
   /** score + filter_by (base.py: keep rows whose predicted label is in
     * the list; empty list = scoring only).
     */
-  def apply(df: DataFrame): DataFrame = {
-    val scored = score(df)
-    if (filterBy.isEmpty) scored else scored.filter(col(labelField).isin(filterBy: _*))
-  }
+  def apply(df: DataFrame): DataFrame =
+    QualityClassifier.keepLabels(score(df), labelField, filterBy)
 }
 
 object QualityClassifier {
+  /** filter_by: keep rows whose predicted label is in the list (empty
+    * list = scoring only) — shared by every categorical contract.
+    */
+  private[classify] def keepLabels(df: DataFrame, labelField: String,
+                                   labels: Seq[String]): DataFrame =
+    if (labels.isEmpty) df else df.filter(col(labelField).isin(labels: _*))
+
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, FastTextBin.Model]()
   private def load(path: String): FastTextBin.Model =
     cache.computeIfAbsent(path, p => FastTextBin.read(Artifacts.resolve(p)))
@@ -56,7 +61,7 @@ object QualityClassifier {
         val clipped = if (mc > 0 && t.length > mc) t.substring(0, mc) else t
         load(path).predict(clipped)
       }
-    })
+    }).asNondeterministic() // expensive model call: evaluate once, never below pushed filters
     val scored = df.withColumn("_pred", u(col(textField)))
       .withColumn(labelField, col("_pred._1"))
     scoreField.fold(scored)(f => scored.withColumn(f, col("_pred._2"))).drop("_pred")

@@ -24,10 +24,15 @@ final class IdGenerator private (private var _nextId: Long,
   def this(startId: Long = 0L) =
     this(startId, scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)])
 
-  def nextId: Long = _nextId
+  def nextId: Long = synchronized(_nextId)
 
-  /** register_batch: existing batches return their original start. */
-  def registerBatch(files: Seq[String], count: Long): Long = {
+  /** register_batch: existing batches return their original start.
+    * Synchronized — the reference gets serialization from its Ray
+    * actor; here concurrent driver threads (parallel job planning)
+    * must not interleave the read-modify-write and mint overlapping
+    * ranges.
+    */
+  def registerBatch(files: Seq[String], count: Long): Long = synchronized {
     val key = IdGenerator.hashFiles(files)
     registry.get(key) match {
       case Some((min, _)) => min
@@ -41,12 +46,12 @@ final class IdGenerator private (private var _nextId: Long,
 
   /** get_batch_range by files. */
   def batchRange(files: Seq[String]): (Long, Long) =
-    registry(IdGenerator.hashFiles(files))
+    synchronized(registry(IdGenerator.hashFiles(files)))
 
   /** get_batch_range by pre-computed key. */
-  def batchRangeByKey(key: String): (Long, Long) = registry(key)
+  def batchRangeByKey(key: String): (Long, Long) = synchronized(registry(key))
 
-  def toDisk(path: String): Unit = {
+  def toDisk(path: String): Unit = synchronized {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("next_id", _nextId)

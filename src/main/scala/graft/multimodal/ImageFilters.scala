@@ -72,6 +72,7 @@ final case class ImageAestheticFilter(
   def score(df: DataFrame): DataFrame = {
     val path = modelPath
     val u = udf((e: Seq[Float]) => if (e == null) 0.0 else LinearHead.load(path).score(e))
+      .asNondeterministic() // score once; a pushed keep filter would re-run the head
     df.withColumn(scoreCol, u(col(embeddingCol)))
   }
 
@@ -91,6 +92,7 @@ final case class ImageNsfwFilter(
   def score(df: DataFrame): DataFrame = {
     val path = modelPath
     val u = udf((e: Seq[Float]) => if (e == null) 1.0 else LinearHead.load(path).score(e))
+      .asNondeterministic()
     df.withColumn(scoreCol, u(col(embeddingCol)))
   }
 

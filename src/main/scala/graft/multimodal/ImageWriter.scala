@@ -41,6 +41,11 @@ object ImageWriter {
     val tarPath = s"$outputDir/$baseName.tar"
     val tos = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
       new java.io.BufferedOutputStream(Files.newOutputStream(Paths.get(tarPath))))
+    // member names over 100 bytes (path-derived ids) need PAX headers —
+    // the default mode throws; Python tarfile (the reference) defaults
+    // to PAX-capable GNU/POSIX formats
+    tos.setLongFileMode(
+      org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
     try {
       members.foreach { case (name, payload) =>
         val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(name)
@@ -96,6 +101,9 @@ object ImageWriter {
     val hasMeta = metaCol.isDefined
     val out = outputDir
     val perTar = imagesPerTar
+    // an all-filtered input must yield an EMPTY metadata frame, not a
+    // path error (the reference logs and writes empty metadata)
+    Files.createDirectories(Paths.get(outputDir))
     df.select(cols: _*).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val all = rows.map { r =>
         (r.getString(0), r.getAs[Array[Byte]](1),
@@ -118,7 +126,16 @@ object ImageWriter {
     readMetadata(spark, outputDir)
   }
 
-  /** All sidecar rows under `dir` as one DataFrame. */
-  def readMetadata(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/*.parquet")
+  /** All sidecar rows under `dir` as one DataFrame (empty when no
+    * shard was written).
+    */
+  def readMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val hasSidecars = Option(new java.io.File(dir).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (hasSidecars) spark.read.parquet(s"$dir/*.parquet")
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(
+        Seq("image_id", "tar_file", "member_name", "original_path", "metadata").map(
+          org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType))))
+  }
 }

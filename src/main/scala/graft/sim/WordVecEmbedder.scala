@@ -99,7 +99,9 @@ object WordVecEmbedder {
   def withEmbedding(df: DataFrame, modelPath: String, textCol: String = "text",
                     outCol: String = "embeddings"): DataFrame = {
     val path = modelPath
-    val u = udf((t: String) => load(path).embed(t).toSeq)
+    // nondeterministic: embeddings feed downstream filters/joins —
+    // never re-embed below a pushed predicate
+    val u = udf((t: String) => load(path).embed(t).toSeq).asNondeterministic()
     df.withColumn(outCol, u(col(textCol)).cast("array<float>"))
   }
 

@@ -31,7 +31,7 @@ final case class ClipAestheticFilter(
           if (f == null) -1.0 else graft.multimodal.LinearHead.load(path).score(f))
         if (red == "mean") scores.sum / scores.size else scores.min
       }
-    })
+    }).asNondeterministic() // per-frame head scores: run once, never below the pushed keep filter
     df.withColumn(scoreCol, u(col(framesCol)))
   }
 

@@ -36,17 +36,18 @@ object MotionFilter {
 
   /** decode_for_motion sampling arithmetic
     * (motion_vector_backend.py:216-218): every `sampleStep`-th frame
-    * hits the target fps.
+    * hits the target fps. Python round() is half-EVEN — math.rint, not
+    * math.round (25/2 fps must sample every 12th frame, not 13th).
     */
   def sampleStep(sourceFps: Double, targetFps: Double): Int =
-    math.max(1, math.round(sourceFps / targetFps).toInt)
+    math.max(1, math.rint(sourceFps / targetFps).toInt)
 
   /** Frame budget (motion_vector_backend.py:212-214): at least 10
-    * frames regardless of the duration ratio.
+    * frames regardless of the duration ratio; half-even round.
     */
   def maxFrames(durationSeconds: Double, targetFps: Double = 2.0,
                 targetDurationRatio: Double = 0.5): Int =
-    math.max(10, math.round(targetFps * durationSeconds * targetDurationRatio).toInt)
+    math.max(10, math.rint(targetFps * durationSeconds * targetDurationRatio).toInt)
 
   /** Resolution gate (motion_vector_backend.py:226-229). */
   def resolutionOk(height: Int, width: Int): Boolean =
@@ -111,10 +112,13 @@ object MotionFilter {
                   perPatchMin256Threshold: Double = PerPatchMin256Threshold,
                   patch: Int = 256,
                   scoreOnly: Boolean = false): DataFrame = {
+    // nondeterministic: the O(frames·H·W) kernel must run ONCE per row —
+    // a deterministic UDF gets substituted into the pushed keep filter
+    // and evaluated twice
     val u = udf((frames: Seq[Seq[Float]]) => {
       if (frames == null) (-1.0, -1.0)
       else motionScores(frames.map(_.toArray), h, w, patch)
-    })
+    }).asNondeterministic()
     val scored = df.withColumn("_m", u(col(framesCol)))
       .withColumn("motion_score_global_mean", col("_m._1"))
       .withColumn("motion_score_per_patch_min_256", col("_m._2"))

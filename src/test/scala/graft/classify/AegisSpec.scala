@@ -27,6 +27,7 @@ class AegisSpec extends AnyFunSuite {
     assert(Aegis.parseResponse("unsafe\nO1,O3") == "unknown") // lists are not single labels
     assert(Aegis.parseResponse("unsafe\nsafe") == "unknown") // labels[2:] only
     assert(Aegis.parseResponse("I refuse to answer") == "unknown")
+    assert(Aegis.parseResponse(null) == "unknown") // failed endpoint -> label, not an executor NPE
     assert(Aegis.Labels.length == 15 && Aegis.Labels.take(2) == Seq("unknown", "safe"))
   }
 

@@ -59,6 +59,21 @@ class ImageWriterSpec extends AnyFunSuite {
     assert(tars2.sameElements(tars))
   }
 
+  test("empty input returns an empty metadata frame; >100-byte member names write via PAX") {
+    val dir = java.nio.file.Files.createTempDirectory("imgw_empty").toString
+    val empty = Seq.empty[(String, Array[Byte])].toDF("image_id", "jpg")
+    val meta = ImageWriter.write(empty, dir)
+    assert(meta.count() == 0)
+    assert(meta.columns.toSeq ==
+      Seq("image_id", "tar_file", "member_name", "original_path", "metadata"))
+
+    val longId = "p" * 140 // member name 144 bytes > the 100-byte ustar limit
+    val dir2 = java.nio.file.Files.createTempDirectory("imgw_long").toString
+    ImageWriter.write(Seq((longId, "x".getBytes)).toDF("image_id", "jpg"), dir2)
+    val back = WebDataset.read(spark, s"$dir2/*.tar")
+    assert(back.select("key").head.getString(0) == longId)
+  }
+
   test("optional columns absent: minimal (id, payload) input still writes valid sidecars") {
     val dir = java.nio.file.Files.createTempDirectory("imgw3").toString
     val df = Seq(("a", "x".getBytes), ("b", "y".getBytes)).toDF("image_id", "jpg")

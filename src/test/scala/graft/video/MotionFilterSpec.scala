@@ -33,8 +33,10 @@ class MotionFilterSpec extends AnyFunSuite {
   test("decode-stage sampling arithmetic and resolution gate") {
     assert(MotionFilter.sampleStep(30.0, 2.0) == 15) // the reference's own example
     assert(MotionFilter.sampleStep(1.0, 2.0) == 1)   // clamped at 1
+    assert(MotionFilter.sampleStep(25.0, 2.0) == 12) // Python round() is half-EVEN: 12.5 -> 12
     assert(MotionFilter.maxFrames(durationSeconds = 30.0) == 30) // 2fps * 30s * 0.5
     assert(MotionFilter.maxFrames(durationSeconds = 2.0) == 10)  // floor of 10
+    assert(MotionFilter.maxFrames(durationSeconds = 10.5) == 10) // 10.5 rounds half-even to 10
     assert(MotionFilter.resolutionOk(256, 256))
     assert(!MotionFilter.resolutionOk(255, 1920) && !MotionFilter.resolutionOk(1080, 100))
   }
