@@ -55,6 +55,30 @@ object WordVecEmbedder {
       }
       v
     }
+
+    /** The reference's other pooling mode (base.py:96-105
+      * _get_last_token): the L2-normalized vector of the LAST
+      * non-padding token — here the last in-vocab token; all-OOV text
+      * embeds to the zero vector.
+      */
+    def embedLastToken(text: String): Array[Float] = {
+      val zero = new Array[Float](dim)
+      if (text == null || text.isEmpty) return zero
+      val last = text.split("\\s+").reverseIterator.flatMap(vectors.get).nextOption()
+      last.fold(zero) { row =>
+        var norm = 0.0
+        var d = 0
+        while (d < dim) { norm += row(d).toDouble * row(d); d += 1 }
+        if (norm == 0) zero
+        else {
+          val inv = (1.0 / math.sqrt(norm)).toFloat
+          val v = new Array[Float](dim)
+          d = 0
+          while (d < dim) { v(d) = row(d) * inv; d += 1 }
+          v
+        }
+      }
+    }
   }
 
   def write(path: String, dim: Int, vectors: Seq[(String, Array[Float])]): Unit = {
@@ -94,14 +118,22 @@ object WordVecEmbedder {
     cache.computeIfAbsent(path, p => read(graft.classify.Artifacts.resolve(p)))
 
   /** Append an embedding column (embedder-stage contract; the
-    * reference's default output field is `embeddings`).
+    * reference's default output field is `embeddings`, pooling
+    * `mean_pooling` | `last_token` — base.py:41).
     */
   def withEmbedding(df: DataFrame, modelPath: String, textCol: String = "text",
-                    outCol: String = "embeddings"): DataFrame = {
+                    outCol: String = "embeddings",
+                    pooling: String = "mean_pooling"): DataFrame = {
+    require(pooling == "mean_pooling" || pooling == "last_token",
+      s"unknown pooling mode: $pooling")
     val path = modelPath
+    val lastTok = pooling == "last_token"
     // nondeterministic: embeddings feed downstream filters/joins —
     // never re-embed below a pushed predicate
-    val u = udf((t: String) => load(path).embed(t).toSeq).asNondeterministic()
+    val u = udf((t: String) => {
+      val m = load(path)
+      (if (lastTok) m.embedLastToken(t) else m.embed(t)).toSeq
+    }).asNondeterministic()
     df.withColumn(outCol, u(col(textCol)).cast("array<float>"))
   }
 

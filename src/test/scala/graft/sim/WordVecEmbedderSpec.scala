@@ -48,6 +48,22 @@ class WordVecEmbedderSpec extends AnyFunSuite {
     assert(math.abs(none) < 1e-6)
   }
 
+  test("last_token pooling: normalized vector of the last in-vocab token") {
+    val m = WordVecEmbedder.read(committed)
+    // last in-vocab token wins even with trailing OOV words
+    val v = m.embedLastToken("ztopic2 filler ztopic9 trailing oov words")
+    assert(v(9) == 1f && v.count(_ != 0f) == 1)
+    assert(m.embedLastToken("all oov text").forall(_ == 0f))
+    assert(m.embedLastToken(null).forall(_ == 0f))
+
+    val df = Seq((1L, "ztopic0 ztopic5")).toDF("doc_id", "text")
+    val out = WordVecEmbedder.withEmbedding(df, committed, pooling = "last_token")
+      .select("embeddings").head.getSeq[Float](0)
+    assert(out(5) == 1f && out.count(_ != 0f) == 1)
+    intercept[IllegalArgumentException](
+      WordVecEmbedder.withEmbedding(df, committed, pooling = "cls"))
+  }
+
   test("regenerating the committed artifact is byte-identical") {
     val tmp = java.io.File.createTempFile("gemb", ".bin").getPath
     WordVecEmbedder.writeTinyArtifact(tmp)
