@@ -219,9 +219,18 @@ object ConfigPipeline {
           graft.dedup.MinHashLSH.removeDuplicates(withId, p, idCol = idCol, textCol = textField)
         else removalOutput(graft.dedup.MinHashLSH.removalIds(withId, p, idCol = idCol, textCol = textField))
       case "TextSemanticDeduplicationWorkflow" =>
-        // model_identifier names a GPU sentence-transformer; the
-        // deterministic hash embedder stands in the same slot offline
-        val emb = graft.sim.HashEmbedder.withEmbedding(withId, textField)
+        // model_identifier: when it names a committed GEMB word-vector
+        // artifact (file or classpath), the ARTIFACT embedder runs
+        // with the config's embedding_pooling; a GPU
+        // sentence-transformer identifier falls back to the
+        // deterministic hash embedder standing in the same slot
+        val modelId = opt("model_identifier").getOrElse("")
+        val pooling = opt("embedding_pooling").getOrElse("mean_pooling")
+        val emb =
+          if (graft.sim.WordVecEmbedder.isGembArtifact(modelId))
+            graft.sim.WordVecEmbedder.withEmbedding(withId, modelId,
+              textCol = textField, outCol = "embedding", pooling = pooling)
+          else graft.sim.HashEmbedder.withEmbedding(withId, textField)
         // ranking_strategy ascending=True over cosine_dist_to_cent is
         // which_to_keep="easy"; the default "hard" is descending
         val ascending = Option(wf.getOrElse("ranking_strategy", null)) match {

@@ -117,6 +117,22 @@ object WordVecEmbedder {
   private def load(path: String): Model =
     cache.computeIfAbsent(path, p => read(graft.classify.Artifacts.resolve(p)))
 
+  /** True iff `path` resolves (filesystem or classpath) to a GEMB
+    * word-vector artifact — lets config entry points route a
+    * model_identifier to this embedder and fall back to the GPU
+    * sentence-transformer slot otherwise.
+    */
+  def isGembArtifact(path: String): Boolean =
+    path.nonEmpty && (try {
+      val resolved = graft.classify.Artifacts.resolve(path)
+      val in = Files.newInputStream(Paths.get(resolved))
+      try {
+        val b = new Array[Byte](4)
+        in.read(b) == 4 &&
+          ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt() == Magic
+      } finally in.close()
+    } catch { case _: Exception => false })
+
   /** Append an embedding column (embedder-stage contract; the
     * reference's default output field is `embeddings`, pooling
     * `mean_pooling` | `last_token` — base.py:41).

@@ -119,6 +119,28 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(out.count() == 2, s"got ${out.count()}")
   }
 
+  test("semantic dedup yaml routes a GEMB model_identifier to the artifact embedder") {
+    val tmp = java.nio.file.Files.createTempDirectory("cfgsemart").toString
+    // same-topic docs are exact duplicates in the committed artifact's
+    // embedding space; the third doc shares no topic (cosine 0)
+    val texts = Seq(
+      "ztopic1 filler words here ztopic9",
+      "ztopic1 other body text ztopic9",
+      "ztopic2 unrelated content ztopic10")
+    texts.zipWithIndex.map { case (t, i) => (s"id$i", t) }
+      .toDF("id", "text").write.json(s"$tmp/in")
+    val out = ConfigPipeline.runWorkflow(spark,
+      s"$cfgDir/semantic_deduplication_pipeline.yaml",
+      Map("input_path" -> s"$tmp/in", "output_path" -> s"$tmp/out",
+        "cache_path" -> s"$tmp/cache", "n_clusters" -> "2", "eps" -> "0.1",
+        "model_identifier" -> "src/main/resources/models/embed_tiny.bin"))
+    assert(out.count() == 2, s"got ${out.count()}")
+    // a non-artifact identifier (the YAML's own sentence-transformer
+    // id) is NOT a GEMB artifact and keeps the fallback slot
+    assert(!graft.sim.WordVecEmbedder.isGembArtifact("sentence-transformers/all-MiniLM-L6-v2"))
+    assert(graft.sim.WordVecEmbedder.isGembArtifact("src/main/resources/models/embed_tiny.bin"))
+  }
+
   test("fasttext pipeline yaml runs off real .bin artifacts") {
     import graft.langid.FastTextBin
     import FastTextBin.{Args, Entry}
