@@ -71,13 +71,14 @@ object IdGenerator {
     Array(0x6b, 0xa7, 0xb8, 0x11, 0x9d, 0xad, 0x11, 0xd1,
       0x80, 0xb4, 0x00, 0xc0, 0x4f, 0xd4, 0x30, 0xc8).map(_.toByte)
 
-  /** hash_files: uuid5(NAMESPACE_URL, files.mkString(";")) — RFC 4122
-    * name-based SHA-1 UUID, byte-compatible with Python's uuid.uuid5.
+  /** uuid5(NAMESPACE_URL, name) — RFC 4122 name-based SHA-1 UUID,
+    * byte-compatible with Python's uuid.uuid5 (shared with the video
+    * clip ids, which the reference derives the same way).
     */
-  def hashFiles(files: Seq[String]): String = {
+  def uuid5(name: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-1")
     md.update(NamespaceUrl)
-    md.update(files.mkString(";").getBytes("UTF-8"))
+    md.update(name.getBytes("UTF-8"))
     val h = md.digest().take(16)
     h(6) = ((h(6) & 0x0f) | 0x50).toByte // version 5
     h(8) = ((h(8) & 0x3f) | 0x80).toByte // RFC 4122 variant
@@ -85,6 +86,9 @@ object IdGenerator {
     s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-${hex.substring(12, 16)}-" +
       s"${hex.substring(16, 20)}-${hex.substring(20)}"
   }
+
+  /** hash_files: uuid5 over the ';'-joined paths. */
+  def hashFiles(files: Seq[String]): String = uuid5(files.mkString(";"))
 
   def fromDisk(path: String): IdGenerator = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper()

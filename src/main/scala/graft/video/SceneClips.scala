@@ -79,6 +79,43 @@ object SceneClips {
     minLength.fold(afterCrop)(m => afterCrop.filter { case (s, e) => e - s >= m })
   }
 
+  /** TransNetV2ClipExtractionStage glue
+    * (transnetv2_extraction.py:95-143): threshold the model's
+    * per-frame shot probabilities (STRICT >, :195), derive and filter
+    * scenes with the stage's second→frame knobs (TRUNCATED via
+    * int(s·fps); a 0/None knob disables its filter — Python
+    * falsiness), emit spans back in SECONDS (frame/framerate) with
+    * uuid5 clip ids over "{video}_{startFrame}_{endFrame}" under
+    * NAMESPACE_URL, capped at limit_clips when positive. Stage
+    * defaults: threshold 0.4, min 2.0 s, max 10.0 s stride, crop
+    * 0.5 s.
+    */
+  def extractClips(df: DataFrame, probsCol: String = "shot_probs",
+                   nameCol: String = "video_name", fpsCol: String = "framerate",
+                   threshold: Double = 0.4, minLengthS: Double = 2.0,
+                   maxLengthS: Double = 10.0, maxLengthMode: String = "stride",
+                   cropS: Double = 0.5, entireSceneAsClip: Boolean = true,
+                   limitClips: Int = -1): DataFrame = {
+    val esc = entireSceneAsClip
+    val u = udf((probs: Seq[Double], name: String, fps: Double) => {
+      val preds = probs.map(p => if (p > threshold) 1 else 0)
+      val scenes = filterScenes(scenesFromPredictions(preds, esc),
+        minLength = if (minLengthS != 0) Some((minLengthS * fps).toInt) else None,
+        maxLength = if (maxLengthS != 0) Some((maxLengthS * fps).toInt) else None,
+        maxLengthMode = maxLengthMode,
+        cropLength = if (cropS != 0) Some((cropS * fps).toInt) else None)
+      val capped = if (limitClips > 0) scenes.take(limitClips) else scenes
+      capped.map { case (s, e) =>
+        (graft.dedup.IdGenerator.uuid5(s"${name}_${s}_${e}"), s / fps, e / fps)
+      }
+    })
+    df.withColumn("_c", explode(u(col(probsCol), col(nameCol), col(fpsCol))))
+      .withColumn("clip_uuid", col("_c._1"))
+      .withColumn("span_start", col("_c._2"))
+      .withColumn("span_end", col("_c._3"))
+      .drop("_c")
+  }
+
   /** DataFrame stage: explode per-video transition predictions into
     * clip-span rows (clip_start, clip_end). Pure per-row work.
     */

@@ -39,6 +39,25 @@ class SceneClipsSpec extends AnyFunSuite {
       maxLengthMode = "bogus"))
   }
 
+  test("extractClips stage glue: strict threshold, truncated frame knobs, second spans, uuid5 ids") {
+    // 120 frames at 25 fps, one shot boundary at frame 60; prob 0.4 is
+    // NOT a transition (strict >)
+    val probs = Seq.tabulate(120)(i => if (i == 60) 0.9 else if (i == 30) 0.4 else 0.1)
+    val df = Seq(("vid1", probs, 25.0)).toDF("video_name", "shot_probs", "framerate")
+    val out = SceneClips.extractClips(df, minLengthS = 1.0)
+      .select("clip_uuid", "span_start", "span_end").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // scenes (0,60) + trailing (61,119); crop int(0.5*25)=12 ->
+    // (12,48),(73,107); both >= min int(1.0*25)=25 frames
+    assert(out.map(c => (c._2, c._3)).toSeq == Seq((12 / 25.0, 48 / 25.0), (73 / 25.0, 107 / 25.0)))
+    assert(out.head._1 == graft.dedup.IdGenerator.uuid5("vid1_12_48"))
+
+    // limit_clips caps; crop 0 disables cropping (Python falsiness)
+    val capped = SceneClips.extractClips(df, minLengthS = 1.0, cropS = 0.0, limitClips = 1)
+      .select("span_start", "span_end").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(capped.toSeq == Seq((0.0, 60 / 25.0)))
+  }
+
   test("DataFrame stage explodes spans; clip aesthetic reduces mean/min and drops empty clips") {
     val df = Seq((1L, Seq(0, 0, 1, 0, 0))).toDF("vid", "predictions")
     val out = SceneClips.clipsFromPredictions(df)
