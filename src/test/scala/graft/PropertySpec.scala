@@ -198,6 +198,61 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: caption windows partition the frame range exactly, in order") {
+    import graft.video.Captioning
+    forAll(Gen.choose(0, 3000), Gen.choose(8, 300)) { (n, ws) =>
+      val rt = ws / 2
+      val windows = Captioning.computeWindows(n, ws, rt)
+      if (n < Captioning.WindowMinFrames) assert(windows.isEmpty)
+      else {
+        // windows tile [0, n-1] contiguously with no gaps or overlaps
+        assert(windows.head.start == 0 && windows.last.end == n - 1)
+        windows.sliding(2).foreach {
+          case Seq(a, b) => assert(b.start == a.end + 1)
+          case _ =>
+        }
+        // every window except a merged/remainder last one is exactly ws
+        windows.init.foreach(w => assert(w.end - w.start + 1 == ws))
+        assert(windows.last.end - windows.last.start + 1 >=
+          math.min(n, math.min(rt, ws)))
+      }
+    }
+  }
+
+  test("property: scene spans never overlap, stay in range, respect the floors") {
+    import graft.video.SceneClips
+    val preds = Gen.choose(0, 200).flatMap(n => Gen.listOfN(n, Gen.oneOf(0, 0, 0, 1)))
+    forAll(preds, Gen.choose(1, 30)) { (p, ml) =>
+      val scenes = SceneClips.scenesFromPredictions(p)
+      scenes.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 <= b._1)
+        case _ =>
+      }
+      scenes.foreach { case (s, e) => assert(s >= 0 && s <= e) }
+      val strided = SceneClips.filterScenes(scenes, minLength = Some(ml),
+        maxLength = Some(ml * 2), maxLengthMode = "stride")
+      strided.foreach { case (s, e) =>
+        assert(e - s >= ml && e - s <= ml * 2, s"span ($s,$e) vs min=$ml")
+      }
+    }
+  }
+
+  test("property: motion scores scale linearly with flow magnitude; patch min <= global mean shape") {
+    import graft.video.MotionFilter
+    val field = for {
+      h <- Gen.choose(1, 4); w <- Gen.choose(1, 4)
+      vals <- Gen.listOfN(h * w * 2, Gen.choose(-5f, 5f))
+    } yield (h, w, vals.toArray)
+    forAll(field, Gen.choose(1f, 4f)) { case ((h, w, flow), k) =>
+      val (gm1, pm1) = MotionFilter.motionScores(Seq(flow), h, w, patch = 1)
+      val (gm2, pm2) = MotionFilter.motionScores(Seq(flow.map(_ * k)), h, w, patch = 1)
+      assert(math.abs(gm2 - gm1 * k) < 1e-6 * math.max(1, gm1 * k))
+      assert(math.abs(pm2 - pm1 * k) < 1e-6 * math.max(1, pm1 * k))
+      // per-pixel min can never exceed the mean over pixels
+      assert(pm1 <= gm1 + 1e-12)
+    }
+  }
+
   test("property: cascade verdict is deterministic and scores stop at first reject") {
     forAll(text) { t =>
       val v1 = graft.filters.Cascade.evaluate(HF.englishCascade, t)
