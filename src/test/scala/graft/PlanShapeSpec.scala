@@ -155,6 +155,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(motion).isEmpty, planString(motion))
   }
 
+  test("webdataset shard scan keeps one task per shard (ArchiveIO parallel grain)") {
+    val dir = java.nio.file.Files.createTempDirectory("wds_plan").toString
+    (0 until 3).foreach { i =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/s$i.tar"),
+        graft.multimodal.WebDataset.buildShard(Seq(
+          (f"k$i%03d", Map("jpg" -> s"p$i".getBytes)))))
+    }
+    val ds = graft.multimodal.WebDataset.read(spark, s"$dir/*.tar")
+    assert(ds.rdd.getNumPartitions == 3, "expected one task per shard")
+    assert(ds.count() == 3)
+  }
+
   test("filter pushdown and column pruning reach the parquet scan") {
     val q = docs.filter($"doc_id" > 100).select("doc_id")
     val scan = q.queryExecution.executedPlan.toString
