@@ -761,6 +761,27 @@ object SparkEntry {
           length(col("caption_prompt")).as("prompt_len"))
     }),
 
+    // codec-free MP4 container probe (VideoReaderStage metadata slot):
+    // per-row fixture mp4 built from doc_id, box-walked back — every
+    // recovered field is a closed form (fps = timescale·frames/ticks
+    // = exactly 25.0 with 40-tick deltas)
+    "video_probe" -> ((s, dir) => {
+      import s.implicits._
+      spread(tbl(s, dir, "documents")).select("doc_id").as[Long].map { id =>
+        val w = 320 + (id % 4).toInt * 160
+        val h = 240 + (id % 3).toInt * 120
+        val frames = 30 + (id % 50).toInt
+        val m = graft.video.Mp4Probe.probe(graft.video.Mp4Probe.buildFixtureMp4(
+          w, h, timescale = 1000, durationTicks = frames * 40,
+          frameCount = frames, frameDelta = 40))
+        (id, m.width.get, m.height.get, m.numFrames.get, m.duration.get,
+          m.framerate.get, m.videoCodec.get, m.audioCodec.get)
+      }.toDF("doc_id", "width", "height", "num_frames", "duration",
+          "framerate", "video_codec", "audio_codec")
+        .withColumn("duration", round(col("duration"), 6))
+        .withColumn("framerate", round(col("framerate"), 6))
+    }),
+
     // TransNetV2 post-processing: planted transition frames at every
     // 10th index -> exact scene spans incl. the trailing-scene rule
     "video_scene_clips" -> ((s, dir) => {
@@ -1664,6 +1685,16 @@ object SparkEntry {
             UNION ALL
             SELECT doc_id, 512, n - 1, $plen FROM c WHERE n >= 640"""
       },
+
+      "video_probe" ->
+        """SELECT doc_id,
+                  320 + CAST(doc_id % 4 AS INT) * 160 AS width,
+                  240 + CAST(doc_id % 3 AS INT) * 120 AS height,
+                  30 + CAST(doc_id % 50 AS INT) AS num_frames,
+                  round((30 + doc_id % 50) * 40 / CAST(1000 AS DOUBLE), 6) AS duration,
+                  round(CAST(25.0 AS DOUBLE), 6) AS framerate,
+                  'avc1' AS video_codec, 'mp4a' AS audio_codec
+           FROM documents""",
 
       // scene spans for transitions at every 10th frame over
       // n = 40 + doc_id%60 frames: first scene (0,10), interior
