@@ -36,6 +36,42 @@ object BinaryOps {
     else "unknown"
   }
 
+  /** Image dimensions from CONTAINER HEADERS — pure parsing, no codec
+    * (PNG IHDR, JPEG SOF marker walk, GIF logical screen, BMP info
+    * header); None when the format is unknown or the header is
+    * malformed/truncated. Fills the metadata width/height slots the
+    * GPU decode would otherwise provide.
+    */
+  def imageDimensions(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 10) return None
+    def b(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (b(i) << 8) | b(i + 1)
+    def be32(i: Int) = (b(i) << 24) | (b(i + 1) << 16) | (b(i + 2) << 8) | b(i + 3)
+    def le16(i: Int) = b(i) | (b(i + 1) << 8)
+    def le32(i: Int) = b(i) | (b(i + 1) << 8) | (b(i + 2) << 16) | (b(i + 3) << 24)
+    try {
+      if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' && bytes.length >= 24)
+        Some((be32(16), be32(20)))
+      else if (b(0) == 0xff && b(1) == 0xd8) {
+        // JPEG: walk segments to a start-of-frame marker
+        var i = 2
+        while (i + 9 < bytes.length) {
+          if (b(i) != 0xff) return None
+          val marker = b(i + 1)
+          if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            return Some((be16(i + 7), be16(i + 5))) // SOF: height then width
+          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2 // standalone
+          else i += 2 + be16(i + 2)
+        }
+        None
+      }
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') Some((le16(6), le16(8)))
+      else if (b(0) == 'B' && b(1) == 'M' && bytes.length >= 26)
+        Some((le32(18), math.abs(le32(22)))) // BMP height may be negative (top-down)
+      else None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
   /** DECODE STUB — a real deployment plugs a JNI/codec here. Deterministic
     * fake: "features" are a normalized histogram of byte values folded to
     * `dim` buckets, so identical payloads give identical embeddings and
@@ -64,13 +100,15 @@ object BinaryOps {
     */
   def withMediaMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
     val magicUdf = udf((b: Array[Byte]) => sniffMagic(b))
-    df.withColumn("meta", struct(
-      length(col(binCol)).cast("long").as("byte_length"),
-      sha2(col(binCol), 256).as("sha256"),
-      magicUdf(col(binCol)).as("magic"),
-      lit(null).cast("int").as("width"),
-      lit(null).cast("int").as("height")
-    ))
+    val dimsUdf = udf((b: Array[Byte]) => imageDimensions(b))
+    df.withColumn("_dims", dimsUdf(col(binCol)))
+      .withColumn("meta", struct(
+        length(col(binCol)).cast("long").as("byte_length"),
+        sha2(col(binCol), 256).as("sha256"),
+        magicUdf(col(binCol)).as("magic"),
+        col("_dims._1").as("width"),   // header-parsed; null for non-image payloads
+        col("_dims._2").as("height")
+      )).drop("_dims")
   }
 
   /** Feature extraction over binary payloads. Runs via mapPartitions-style
