@@ -53,10 +53,13 @@ object BinaryOps {
       if (b(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' && bytes.length >= 24)
         Some((be32(16), be32(20)))
       else if (b(0) == 0xff && b(1) == 0xd8) {
-        // JPEG: walk segments to a start-of-frame marker
+        // JPEG: walk segments to a start-of-frame marker. Markers may
+        // be preceded by any number of 0xFF FILL bytes (real encoders
+        // emit them) — skip the run before reading the marker id.
         var i = 2
         while (i + 9 < bytes.length) {
           if (b(i) != 0xff) return None
+          while (i + 9 < bytes.length && b(i + 1) == 0xff) i += 1
           val marker = b(i + 1)
           if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
             return Some((be16(i + 7), be16(i + 5))) // SOF: height then width
@@ -66,8 +69,14 @@ object BinaryOps {
         None
       }
       else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') Some((le16(6), le16(8)))
-      else if (b(0) == 'B' && b(1) == 'M' && bytes.length >= 26)
-        Some((le32(18), math.abs(le32(22)))) // BMP height may be negative (top-down)
+      else if (b(0) == 'B' && b(1) == 'M' && bytes.length >= 26 &&
+          Set(40, 52, 56, 108, 124).contains(le32(14)))
+        // require an exact BITMAPINFOHEADER-family size field: the
+        // 2-byte 'BM' prefix alone matches arbitrary text payloads
+        // (any >= comparison still passes on ASCII), and the 12-byte
+        // BITMAPCOREHEADER stores 16-bit dims at different offsets —
+        // both must yield None, not garbage
+        Some((le32(18), math.abs(le32(22)))) // height may be negative (top-down)
       else None
     } catch { case _: IndexOutOfBoundsException => None }
   }
@@ -100,7 +109,9 @@ object BinaryOps {
     */
   def withMediaMeta(df: DataFrame, binCol: String = "payload"): DataFrame = {
     val magicUdf = udf((b: Array[Byte]) => sniffMagic(b))
-    val dimsUdf = udf((b: Array[Byte]) => imageDimensions(b))
+    // nondeterministic: parse headers once per row (both struct fields
+    // reference the same call)
+    val dimsUdf = udf((b: Array[Byte]) => imageDimensions(b)).asNondeterministic()
     df.withColumn("_dims", dimsUdf(col(binCol)))
       .withColumn("meta", struct(
         length(col(binCol)).cast("long").as("byte_length"),

@@ -127,8 +127,10 @@ object WordVecEmbedder {
       val resolved = graft.classify.Artifacts.resolve(path)
       val in = Files.newInputStream(Paths.get(resolved))
       try {
-        val b = new Array[Byte](4)
-        in.read(b) == 4 &&
+        // readNBytes, not read: a legal short read must not misroute a
+        // valid artifact to the fallback embedder
+        val b = in.readNBytes(4)
+        b.length == 4 &&
           ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt() == Magic
       } finally in.close()
     } catch { case _: Exception => false })

@@ -71,7 +71,11 @@ object Mp4Probe {
         var header = 8
         if (size == 1 && b.position() + 8 <= end) { size = b.getLong(); header = 16 }
         if (size == 0) size = (end - start).toLong // box extends to end
-        if (size < header || start + size > end) return // malformed: stop
+        // compare against the REMAINING length, never start + size — a
+        // hostile 64-bit largesize near Long.MaxValue would overflow
+        // the sum negative, pass a start+size > end check, and rewind
+        // boxEnd before start into an exception-free infinite loop
+        if (size < header || size > (end - start).toLong) return // malformed: stop
         val boxEnd = (start + size).toInt
         tpe match {
           case t if Containers(t) =>
@@ -105,11 +109,14 @@ object Mp4Probe {
               trak.w = Some((b.getInt(off) >>> 16)) // 16.16 fixed
               trak.h = Some((b.getInt(off + 4) >>> 16))
             }
-          case "mdhd" if trak != null && boxEnd - b.position() >= 20 =>
+          case "mdhd" if trak != null && boxEnd - b.position() >= 16 =>
             val v = b.get(b.position()) & 0xff
-            trak.mdhdTimescale =
-              if (v == 1) b.getInt(b.position() + 20) & 0xffffffffL
-              else b.getInt(b.position() + 12) & 0xffffffffL
+            // v1 reads the timescale at offset 20..24 — require the
+            // box to actually contain it, never read into a sibling
+            if (v == 1 && boxEnd - b.position() >= 24)
+              trak.mdhdTimescale = b.getInt(b.position() + 20) & 0xffffffffL
+            else if (v == 0)
+              trak.mdhdTimescale = b.getInt(b.position() + 12) & 0xffffffffL
           case "hdlr" if trak != null && boxEnd - b.position() >= 12 =>
             val t = new Array[Byte](4)
             val p = b.position()
@@ -161,11 +168,13 @@ object Mp4Probe {
     */
   def withMetadata(df: DataFrame, payloadCol: String = "video",
                    outCol: String = "metadata"): DataFrame = {
+    // nondeterministic: the box walk runs once per row, never
+    // re-evaluated per referenced struct field or below pushed filters
     val u = udf((b: Array[Byte]) => {
       val m = probe(b)
       (m.size, m.width, m.height, m.framerate, m.numFrames, m.duration,
         m.videoCodec, m.audioCodec)
-    })
+    }).asNondeterministic()
     df.withColumn(outCol, u(col(payloadCol)).cast(
       "struct<size:bigint,width:int,height:int,framerate:double," +
         "num_frames:int,duration:double,video_codec:string,audio_codec:string>"))

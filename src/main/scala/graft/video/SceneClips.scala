@@ -44,6 +44,7 @@ object SceneClips {
     */
   def createSpans(start: Int, end: Int, maxLength: Int,
                   minLength: Option[Int]): Seq[(Int, Int)] = {
+    require(maxLength > 0, s"maxLength must be positive (got $maxLength)") // a 0 would never advance
     val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var cur = start
     var done = false
@@ -98,6 +99,11 @@ object SceneClips {
                    limitClips: Int = -1): DataFrame = {
     val esc = entireSceneAsClip
     val u = udf((probs: Seq[Double], name: String, fps: Double) => {
+      // the reference skips videos with falsy framerate before the
+      // span math (transnetv2_extraction.py:100-102) — without this a
+      // zero fps makes maxLength 0 and the stride loop never advances
+      if (fps <= 0 || probs == null) Seq.empty[(String, Double, Double)]
+      else {
       val preds = probs.map(p => if (p > threshold) 1 else 0)
       val scenes = filterScenes(scenesFromPredictions(preds, esc),
         minLength = if (minLengthS != 0) Some((minLengthS * fps).toInt) else None,
@@ -107,6 +113,7 @@ object SceneClips {
       val capped = if (limitClips > 0) scenes.take(limitClips) else scenes
       capped.map { case (s, e) =>
         (graft.dedup.IdGenerator.uuid5(s"${name}_${s}_${e}"), s / fps, e / fps)
+      }
       }
     })
     df.withColumn("_c", explode(u(col(probsCol), col(nameCol), col(fpsCol))))

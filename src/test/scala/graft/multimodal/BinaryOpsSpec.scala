@@ -37,8 +37,8 @@ class BinaryOpsSpec extends AnyFunSuite {
     assert(BinaryOps.imageDimensions(jpeg(1920, 1080)).contains((1920, 1080)))
     assert(BinaryOps.imageDimensions(gif(320, 200)).contains((320, 200)))
     val bmp = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bmp.put("BM".getBytes).position(18)
-    bmp.putInt(800).putInt(-600) // top-down BMP: negative height
+    bmp.put("BM".getBytes).position(14)
+    bmp.putInt(40).putInt(800).putInt(-600) // BITMAPINFOHEADER; top-down negative height
     assert(BinaryOps.imageDimensions(bmp.array()).contains((800, 600)))
 
     assert(BinaryOps.imageDimensions(null).isEmpty)
@@ -47,6 +47,19 @@ class BinaryOpsSpec extends AnyFunSuite {
     // JPEG that never reaches an SOF marker
     assert(BinaryOps.imageDimensions(Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0, 0)
       .map(_.toByte)).isEmpty)
+    // a text payload starting with 'BM' must NOT parse as a bitmap
+    assert(BinaryOps.imageDimensions(
+      "BMW announced today that the numbers were good".getBytes).isEmpty)
+    // FILL bytes before the SOF marker (FF FF FF C0) are spec-valid
+    val filled = {
+      val base = jpeg(111, 222)
+      val b = java.nio.ByteBuffer.allocate(base.length + 2)
+      b.put(base, 0, 12) // SOI + APP0
+      b.put(0xff.toByte).put(0xff.toByte) // two fill bytes
+      b.put(base, 12, base.length - 12)
+      b.array()
+    }
+    assert(BinaryOps.imageDimensions(filled).contains((111, 222)))
   }
 
   test("withMediaMeta fills width/height for image payloads, null otherwise") {

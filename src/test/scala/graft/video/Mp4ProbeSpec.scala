@@ -36,6 +36,15 @@ class Mp4ProbeSpec extends AnyFunSuite {
     val evil = java.util.Arrays.copyOf(mp4, mp4.length)
     evil(0) = 0x7f.toByte // first box claims ~2 GB
     Mp4Probe.probe(evil)
+    // 64-bit largesize near Long.MaxValue: start+size overflows
+    // negative — must terminate, not rewind into an infinite loop
+    val overflow = {
+      val b = java.nio.ByteBuffer.allocate(32)
+      b.putInt(16).put("ftyp".getBytes).put("isom0000".getBytes)
+      b.putInt(1).put("moov".getBytes).putLong(0x7ffffffffffffff0L)
+      b.array()
+    }
+    assert(Mp4Probe.probe(overflow).duration.isEmpty) // returns, promptly
   }
 
   test("DataFrame stage appends the VideoMetadata struct (pure map)") {

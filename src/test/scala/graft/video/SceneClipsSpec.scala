@@ -56,6 +56,11 @@ class SceneClipsSpec extends AnyFunSuite {
     val capped = SceneClips.extractClips(df, minLengthS = 1.0, cropS = 0.0, limitClips = 1)
       .select("span_start", "span_end").collect().map(r => (r.getDouble(0), r.getDouble(1)))
     assert(capped.toSeq == Seq((0.0, 60 / 25.0)))
+
+    // falsy framerate: the reference skips the video entirely — a zero
+    // fps must yield no clips, never a non-advancing stride loop
+    val zeroFps = Seq(("vid2", probs, 0.0)).toDF("video_name", "shot_probs", "framerate")
+    assert(SceneClips.extractClips(zeroFps).count() == 0)
   }
 
   test("DataFrame stage explodes spans; clip aesthetic reduces mean/min and drops empty clips") {
