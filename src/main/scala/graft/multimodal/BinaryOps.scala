@@ -69,6 +69,19 @@ object BinaryOps {
         None
       }
       else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') Some((le16(6), le16(8)))
+      else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          bytes.length >= 30 && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P') {
+        // WebP: VP8X extended header carries the canvas size as
+        // 24-bit LE minus-one values; simple VP8 keyframes carry
+        // 14-bit dims after the 3-byte frame tag + start code
+        if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X')
+          Some((1 + (b(24) | (b(25) << 8) | (b(26) << 16)),
+            1 + (b(27) | (b(28) << 8) | (b(29) << 16))))
+        else if (b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' ' &&
+            b(23) == 0x9d && b(24) == 0x01 && b(25) == 0x2a)
+          Some((le16(26) & 0x3fff, le16(28) & 0x3fff))
+        else None
+      }
       else if (b(0) == 'B' && b(1) == 'M' && bytes.length >= 26 &&
           Set(40, 52, 56, 108, 124).contains(le32(14)))
         // require an exact BITMAPINFOHEADER-family size field: the

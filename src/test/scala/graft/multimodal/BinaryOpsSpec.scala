@@ -50,6 +50,29 @@ class BinaryOpsSpec extends AnyFunSuite {
     // a text payload starting with 'BM' must NOT parse as a bitmap
     assert(BinaryOps.imageDimensions(
       "BMW announced today that the numbers were good".getBytes).isEmpty)
+    // WebP VP8X canvas (24-bit LE minus-one) and simple VP8 keyframe dims
+    val vp8x = {
+      val b = java.nio.ByteBuffer.allocate(30)
+      b.put("RIFF".getBytes).putInt(0).put("WEBP".getBytes).put("VP8X".getBytes)
+      b.position(24)
+      b.put(Array(0x7f, 0x02, 0x00).map(_.toByte)) // width-1 = 639
+      b.put(Array(0xdf, 0x01, 0x00).map(_.toByte)) // height-1 = 479
+      b.array()
+    }
+    assert(BinaryOps.imageDimensions(vp8x).contains((640, 480)))
+    val vp8 = {
+      val b = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(0).put("WEBP".getBytes).put("VP8 ".getBytes)
+      b.position(23)
+      b.put(Array(0x9d, 0x01, 0x2a).map(_.toByte)) // keyframe start code
+      b.putShort(320.toShort).putShort(240.toShort)
+      b.array()
+    }
+    assert(BinaryOps.imageDimensions(vp8).contains((320, 240)))
+    // a RIFF that is not WEBP (e.g. WAVE) yields None
+    val wav = graft.audio.WavIO.buildPcmWav(160, 16000)
+    assert(BinaryOps.imageDimensions(wav).isEmpty)
+
     // FILL bytes before the SOF marker (FF FF FF C0) are spec-valid
     val filled = {
       val base = jpeg(111, 222)
