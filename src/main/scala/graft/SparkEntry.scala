@@ -978,11 +978,17 @@ object SparkEntry {
       val raw = docs.filter(col("doc_id") % 2 === 0)
         .select("doc_id", "lang", "text").orderBy("doc_id").limit(TrainCap)
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-      val perClass = raw.groupBy(_._1).values.map(_.size).min
-      val train = raw.groupBy(_._1).values.flatMap(_.take(perClass)).toSeq
-      val model = graft.langid.CharNgramLangId.train(train, buckets = 1 << 14)
-      graft.langid.FastTextFilters.withLangId(docs, model)
-        .select(col("doc_id"), col("langid.lang").as("lang_pred"))
+      // degenerate input (empty table / no even doc_ids) → empty
+      // result, not an UnsupportedOperationException from .min
+      if (raw.isEmpty) {
+        docs.limit(0).select(col("doc_id"), col("lang").as("lang_pred"))
+      } else {
+        val perClass = raw.groupBy(_._1).values.map(_.size).min
+        val train = raw.groupBy(_._1).values.flatMap(_.take(perClass)).toSeq
+        val model = graft.langid.CharNgramLangId.train(train, buckets = 1 << 14)
+        graft.langid.FastTextFilters.withLangId(docs, model)
+          .select(col("doc_id"), col("langid.lang").as("lang_pred"))
+      }
     }),
 
     "ft_quality" -> ((s, dir) => {

@@ -28,6 +28,12 @@ object CommonCrawlApp {
     * `docsPerShard` CCPages rows (disjoint slice per shard).
     */
   def fixtureFetch(spark: SparkSession, shards: Int = 4, docsPerShard: Int = 250): String => Array[Byte] = {
+    // fixture-only: the generated corpus is collected to the driver, so
+    // cap its size — cluster deploys wire the HTTP fetcher instead
+    val total = shards.toLong * docsPerShard
+    require(total <= 100000,
+      s"fixtureFetch collects all pages to the driver; $total docs exceeds the " +
+        "100k fixture cap — use the HTTP fetcher for real crawls")
     val pages = graft.fixtures.CCPages.generate(spark, (shards * docsPerShard).toLong, partitions = 4)
       .select("url", "html").collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
     def gzip(s: String): Array[Byte] = {

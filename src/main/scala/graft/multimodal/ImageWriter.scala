@@ -55,6 +55,13 @@ object ImageWriter {
     } finally tos.close()
 
     val pqPath = s"$outputDir/$baseName.parquet"
+    writeSidecar(pqPath, tarPath, meta)
+    (tarPath, pqPath)
+  }
+
+  /** One parquet sidecar at `pqPath` for the shard at `tarPath`. */
+  private def writeSidecar(pqPath: String, tarPath: String,
+                           meta: Seq[(String, String, String, String)]): Unit = {
     val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
       """message meta {
            required binary image_id (UTF8);
@@ -82,7 +89,6 @@ object ImageWriter {
         writer.write(g)
       }
     } finally writer.close()
-    (tarPath, pqPath)
   }
 
   /** Distributed write: `df(idCol, payloadCol[, pathCol, metaCol])` →
@@ -104,26 +110,58 @@ object ImageWriter {
     // an all-filtered input must yield an EMPTY metadata frame, not a
     // path error (the reference logs and writes empty metadata)
     Files.createDirectories(Paths.get(outputDir))
-    df.select(cols: _*).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val all = rows.map { r =>
-        (r.getString(0), r.getAs[Array[Byte]](1),
-          if (hasOrig) r.getString(2) else null,
-          if (hasMeta) r.getString(if (hasOrig) 3 else 2) else null)
-      }.toVector
-      if (all.nonEmpty) {
-        val pid = Option(org.apache.spark.TaskContext.get()).map(_.partitionId()).getOrElse(0)
-        // batch-level prefix from ALL the partition's member inputs +
-        // the partition id as the actor/task seed (image_writer.py:66-70)
-        val prefix = s"images-${deterministicHash(all.map(_._1), pid.toString)}"
-        all.grouped(perTar).zipWithIndex.foreach { case (chunk, ci) =>
-          val base = f"$prefix-$ci%06d"
-          writeShard(out, base,
-            chunk.map { case (id, payload, _, _) => (s"$id.jpg", payload) },
-            chunk.map { case (id, _, orig, meta) => (id, s"$id.jpg", orig, meta) })
+    // Streaming shard write: each payload is written to its chunk's tar
+    // as it arrives (one payload in executor memory at a time); only the
+    // hash-input strings and sidecar metadata rows — small strings —
+    // are buffered for the whole partition. The batch prefix hashes the
+    // partition's original PATHS when pathCol is given (ids as the
+    // fallback), seeded by the partition id — the Spark analogue of the
+    // reference's `image_path`s + task_id (image_writer.py:61-70); tars
+    // stream to a temp name and are renamed once the prefix is known.
+    val pqPaths = df.select(cols: _*).rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val hashInputs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val chunkMeta = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(String, String, String, String)]]
+      var tos: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream = null
+      var inChunk = 0
+      rows.foreach { r =>
+        val id = r.getString(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val orig = if (hasOrig) r.getString(2) else null
+        val meta = if (hasMeta) r.getString(if (hasOrig) 3 else 2) else null
+        hashInputs += (if (orig != null) orig else id)
+        if (inChunk == 0) {
+          tos = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+            new java.io.BufferedOutputStream(Files.newOutputStream(
+              Paths.get(f"$out/.part-$pid-${chunkMeta.size}%06d.tmp.tar"))))
+          tos.setLongFileMode(
+            org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
+          chunkMeta += scala.collection.mutable.ArrayBuffer.empty
         }
+        val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(s"$id.jpg")
+        e.setSize(payload.length)
+        tos.putArchiveEntry(e); tos.write(payload); tos.closeArchiveEntry()
+        chunkMeta.last += ((id, s"$id.jpg", orig, meta))
+        inChunk += 1
+        if (inChunk == perTar) { tos.close(); tos = null; inChunk = 0 }
       }
-    }
-    readMetadata(spark, outputDir)
+      if (tos != null) tos.close()
+      val prefix = s"images-${deterministicHash(hashInputs.toSeq, pid.toString)}"
+      chunkMeta.zipWithIndex.map { case (meta, ci) =>
+        val base = f"$prefix-$ci%06d"
+        val tarPath = s"$out/$base.tar"
+        Files.move(Paths.get(f"$out/.part-$pid-$ci%06d.tmp.tar"), Paths.get(tarPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val pqPath = s"$out/$base.parquet"
+        writeSidecar(pqPath, tarPath, meta.toSeq)
+        pqPath
+      }.iterator
+    }.collect()
+    // only THIS run's sidecars — a reuse of a non-empty outputDir must
+    // not surface earlier runs' rows (the reference returns the task's
+    // own files only)
+    if (pqPaths.isEmpty) emptyMetadata(spark)
+    else spark.read.parquet(pqPaths.toIndexedSeq: _*)
   }
 
   /** All sidecar rows under `dir` as one DataFrame (empty when no
@@ -133,9 +171,12 @@ object ImageWriter {
     val hasSidecars = Option(new java.io.File(dir).listFiles())
       .exists(_.exists(_.getName.endsWith(".parquet")))
     if (hasSidecars) spark.read.parquet(s"$dir/*.parquet")
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    else emptyMetadata(spark)
+  }
+
+  private def emptyMetadata(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(
         Seq("image_id", "tar_file", "member_name", "original_path", "metadata").map(
           org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType))))
-  }
 }

@@ -98,7 +98,10 @@ object Mp4Probe {
             if (v == 1 && boxEnd - b.position() >= 32) {
               mvhdTimescale = b.getInt(b.position() + 20) & 0xffffffffL
               mvhdDuration = b.getLong(b.position() + 24)
-            } else if (boxEnd - b.position() >= 24) {
+            } else if (v == 0 && boxEnd - b.position() >= 24) {
+              // a truncated v1 box (24..31 payload bytes) must NOT fall
+              // through here — the v0 offsets would read its 64-bit
+              // creation/modification fields as timescale/duration
               mvhdTimescale = b.getInt(b.position() + 12) & 0xffffffffL
               mvhdDuration = b.getInt(b.position() + 16) & 0xffffffffL
             }

@@ -74,6 +74,18 @@ class ImageWriterSpec extends AnyFunSuite {
     assert(back.select("key").head.getString(0) == longId)
   }
 
+  test("second write into a non-empty outputDir returns only its own run's rows") {
+    val dir = java.nio.file.Files.createTempDirectory("imgw_reuse").toString
+    ImageWriter.write(Seq(("a", "x".getBytes)).toDF("image_id", "jpg"), dir)
+    val meta2 = ImageWriter.write(
+      Seq(("b", "y".getBytes), ("c", "z".getBytes)).toDF("image_id", "jpg"), dir)
+    assert(meta2.select("image_id").as[String].collect().sorted.sameElements(Array("b", "c")))
+    // the directory-level reader still sees both runs
+    assert(ImageWriter.readMetadata(spark, dir).count() == 3)
+    // no temp tars left behind
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp.tar")))
+  }
+
   test("optional columns absent: minimal (id, payload) input still writes valid sidecars") {
     val dir = java.nio.file.Files.createTempDirectory("imgw3").toString
     val df = Seq(("a", "x".getBytes), ("b", "y".getBytes)).toDF("image_id", "jpg")

@@ -45,6 +45,21 @@ class Mp4ProbeSpec extends AnyFunSuite {
       b.array()
     }
     assert(Mp4Probe.probe(overflow).duration.isEmpty) // returns, promptly
+    // truncated VERSION-1 mvhd (24..31 payload bytes): must yield no
+    // duration, not misread the 64-bit creation/modification fields
+    // through the v0 offsets
+    val truncV1 = {
+      val payload = java.nio.ByteBuffer.allocate(28)
+      payload.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1, flags
+      payload.putLong(3000000000L).putLong(3000000001L) // creation/modification
+      payload.putInt(0) // 4 bytes into where timescale would start
+      val b = java.nio.ByteBuffer.allocate(8 + 8 + 28 + 8 + 28)
+      b.putInt(16).put("ftyp".getBytes).put("isom0000".getBytes)
+      b.putInt(8 + 8 + 28).put("moov".getBytes)
+      b.putInt(8 + 28).put("mvhd".getBytes).put(payload.array())
+      b.array()
+    }
+    assert(Mp4Probe.probe(truncV1).duration.isEmpty)
   }
 
   test("DataFrame stage appends the VideoMetadata struct (pure map)") {
