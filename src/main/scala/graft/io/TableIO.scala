@@ -113,14 +113,33 @@ final class CatalogTableIO(catalog: String) extends TableIO with Serializable {
     spark.table(fqn(table))
 
   def write(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.writeTo(fqn(table))
-    if (partitionCols.nonEmpty)
-      w.partitionedBy(col(partitionCols.head), partitionCols.tail.map(col): _*)
-        .createOrReplace()
-    else w.createOrReplace()
+    def writer = {
+      val w = df.writeTo(fqn(table))
+      if (partitionCols.nonEmpty)
+        w.partitionedBy(col(partitionCols.head), partitionCols.tail.map(col): _*)
+      else w
+    }
+    try writer.createOrReplace()
+    catch {
+      // catalogs without atomic RTAS (the built-in session catalog,
+      // plain HMS+parquet deploys) still get replace semantics via
+      // drop+create; Iceberg keeps the single-snapshot commit path
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.startsWith("UNSUPPORTED_FEATURE")) =>
+        df.sparkSession.sql(s"DROP TABLE IF EXISTS ${fqn(table)}")
+        writer.create()
+    }
   }
 
   /** Append into an existing partitioned table (snapshot commit). */
   def append(df: DataFrame, table: String): Unit =
-    df.writeTo(fqn(table)).append()
+    try df.writeTo(fqn(table)).append()
+    catch {
+      // v1 session-catalog tables reject the v2 append — route through
+      // the v1 writer (same rows, no snapshot semantics)
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.startsWith("UNSUPPORTED_FEATURE")) ||
+            e.getMessage.contains("v1 table") =>
+        df.write.mode(SaveMode.Append).saveAsTable(fqn(table))
+    }
 }
