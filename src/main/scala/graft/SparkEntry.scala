@@ -792,6 +792,49 @@ object SparkEntry {
         .select(col("doc_id"), col("clip_start"), col("clip_end"))
     }),
 
+    // ClipFrameExtractionStage sampling arithmetic: uniform-10fps
+    // clips of nf = 11 + doc_id%7 frames, policies sequence+middle,
+    // integral targets [2,5] → the LCM decode-sharing path selects
+    // every frame once at 10fps then strides [::5]/[::2]; middle
+    // takes the left-of-pair frame. Every selected index is the
+    // closed form the oracle recomputes.
+    "video_frame_extraction" -> ((s, dir) => {
+      val docs = spread(tbl(s, dir, "documents")).select(col("doc_id"),
+        (lit(11) + col("doc_id") % 7).cast("int").as("nf"))
+      val withTs = docs.withColumn("frame_timestamps",
+        expr("transform(sequence(0, nf - 1), i -> CAST(i / 10.0D AS FLOAT))"))
+      graft.video.FrameExtraction.withExtractedFrames(withTs,
+          policies = Seq(graft.video.FrameExtraction.Sequence,
+            graft.video.FrameExtraction.Middle),
+          targetFps = Seq(2.0, 5.0))
+        .select(col("doc_id"), explode(col("extracted_frames")).as(Seq("signature", "idxs")))
+        .select(col("doc_id"), col("signature"),
+          posexplode(col("idxs")).as(Seq("pos", "frame_idx")))
+        .select(col("doc_id"), col("signature"),
+          col("pos").cast("long").as("pos"), col("frame_idx").cast("long").as("frame_idx"))
+    }),
+
+    // ClipWriterStage deterministic layout: clip/metadata locations and
+    // the filtered-clips routing rule as closed-form strings (the
+    // distributed writer itself is byte-stability-gated in
+    // ClipWriterSpec; ids use md5 so the oracle can recompute them)
+    "video_clip_writer" -> ((s, dir) => {
+      import s.implicits._
+      spread(tbl(s, dir, "documents")).select("doc_id").as[Long].map { id =>
+        val uuid = org.apache.commons.codec.digest.DigestUtils.md5Hex(s"video_$id")
+        val filtered = id % 5 == 0
+        val dur = 1.0 + (id % 3)
+        val loc = graft.video.ClipWriter.clipUri(
+          graft.video.ClipWriter.pathClips("/out", filtered), uuid, "mp4")
+        val metaLoc = graft.video.ClipWriter.clipUri(
+          graft.video.ClipWriter.pathMetas("/out", "v0"), uuid, "json")
+        val preview = graft.video.ClipWriter.windowUri(
+          graft.video.ClipWriter.pathPreviews("/out"), uuid, 0, 64, "webp")
+        (id, uuid, loc, metaLoc, preview, dur, !filtered)
+      }.toDF("doc_id", "clip_uuid", "clip_location", "meta_location", "preview_location",
+          "clip_duration", "passed")
+    }),
+
     // clip-level aesthetic gate: two frame embeddings per clip from
     // the committed artifacts, mean reduction, keep >= 10 — scores
     // are closed forms of doc_id (cannot land exactly on the
@@ -1701,6 +1744,42 @@ object SparkEntry {
                   round(CAST(25.0 AS DOUBLE), 6) AS framerate,
                   'avc1' AS video_codec, 'mp4a' AS audio_codec
            FROM documents""",
+
+      // LCM-path frame selection over uniform 10fps clips: sequence
+      // targets stride every 5th/2nd frame; middle takes the
+      // left-of-pair frame at pos 0 for both targets
+      "video_frame_extraction" ->
+        """WITH c AS (SELECT doc_id, 11 + CAST(doc_id % 7 AS INT) AS nf FROM documents),
+                ks AS (SELECT range AS k FROM range(0, 9))
+           SELECT doc_id, 'FrameExtractionPolicy.sequence-2000' AS signature,
+                  k AS pos, 5*k AS frame_idx
+           FROM c, ks WHERE k <= (nf-1)//5
+           UNION ALL
+           SELECT doc_id, 'FrameExtractionPolicy.sequence-5000', k, 2*k
+           FROM c, ks WHERE k <= (nf-1)//2
+           UNION ALL
+           SELECT doc_id, 'FrameExtractionPolicy.middle-2000', 0,
+                  CASE WHEN nf % 2 = 0 THEN nf//2 - 1 ELSE nf//2 END
+           FROM c
+           UNION ALL
+           SELECT doc_id, 'FrameExtractionPolicy.middle-5000', 0,
+                  CASE WHEN nf % 2 = 0 THEN nf//2 - 1 ELSE nf//2 END
+           FROM c""",
+
+      // the ClipWriter layout contract as closed-form strings; the
+      // filtered-clips rule routes every 5th clip to filtered_clips/
+      "video_clip_writer" ->
+        """WITH c AS (SELECT doc_id, md5('video_' || CAST(doc_id AS VARCHAR)) AS u,
+                  doc_id % 5 = 0 AS f
+             FROM documents)
+           SELECT doc_id, u AS clip_uuid,
+                  '/out/' || (CASE WHEN f THEN 'filtered_clips' ELSE 'clips' END)
+                    || '/' || u || '.mp4' AS clip_location,
+                  '/out/metas/v0/' || u || '.json' AS meta_location,
+                  '/out/previews/' || u || '/0_64.webp' AS preview_location,
+                  CAST(1 + doc_id % 3 AS DOUBLE) AS clip_duration,
+                  NOT f AS passed
+           FROM c""",
 
       // scene spans for transitions at every 10th frame over
       // n = 40 + doc_id%60 frames: first scene (0,10), interior

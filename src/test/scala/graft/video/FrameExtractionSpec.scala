@@ -1,0 +1,77 @@
+package graft.video
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Vectors cross-checked against the reference's numpy implementation
+  * (decoder_utils.py sample_closest / find_closest_indices run
+  * verbatim under numpy).
+  */
+class FrameExtractionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  import FrameExtraction._
+
+  private def uniform(n: Int, fps: Float): Array[Float] =
+    Array.tabulate(n)(i => i * (1f / fps))
+
+  test("signature string matches FrameExtractionSignature.to_str") {
+    assert(signature(Sequence, 2.0) == "FrameExtractionPolicy.sequence-2000")
+    assert(signature(Middle, 0.25) == "FrameExtractionPolicy.middle-250")
+  }
+
+  test("sample_closest matches the numpy reference vectors") {
+    // 13 frames at 10fps sampled at 2fps -> every 5th frame
+    val (i1, c1, _) = sampleClosest(uniform(13, 10), 2)
+    assert(i1.toSeq == Seq(0, 5, 10) && c1.toSeq == Seq(1, 1, 1))
+    // at the source rate -> all frames once
+    val (i2, _, _) = sampleClosest(uniform(13, 10), 10)
+    assert(i2.toSeq == (0 until 13))
+    // irregular timestamps at 1fps: closest-with-left-tie, dup counts
+    val src3 = Array(0.0f, 0.4f, 0.9f, 2.0f, 2.05f, 3.7f)
+    val (i3, c3, _) = sampleClosest(src3, 1)
+    assert(i3.toSeq == Seq(0, 2, 3, 5) && c3.toSeq == Seq(1, 1, 1, 2))
+    // supersampling a 2-frame clip at 10fps repeats each frame 3x
+    val (i4, c4, _) = sampleClosest(Array(0.0f, 0.5f), 10)
+    assert(i4.toSeq == Seq(0, 1) && c4.toSeq == Seq(3, 3))
+    // single frame: numpy's -1 index = the only frame
+    val (i5, _, _) = sampleClosest(Array(1.25f), 2)
+    assert(i5.toSeq == Seq(0))
+    // equidistant tie goes LEFT
+    assert(findClosestIndices(Array(0.0f, 1.0f), Array(0.5f)).toSeq == Seq(0))
+  }
+
+  test("policy slicing: sequence all frames, middle takes the left-of-pair") {
+    assert(frameIndices(uniform(13, 10), Sequence, 2).toSeq == Seq(0, 5, 10))
+    assert(frameIndices(uniform(6, 10), Middle, 2).toSeq == Seq(2)) // even: n/2 - 1
+    assert(frameIndices(uniform(7, 10), Middle, 2).toSeq == Seq(3)) // odd: n/2
+    intercept[UnsupportedOperationException] { frameIndices(uniform(5, 10), First, 2) }
+    intercept[IllegalArgumentException] { frameIndices(Array.empty[Float], Sequence, 2) }
+  }
+
+  test("LCM decode sharing: one pass at lcm fps, strided per target") {
+    assert(lcmMultiple(Seq(2.0, 5.0)) == 10)
+    assert(useLcmFps(Seq(2.0, 5.0)) && !useLcmFps(Seq(2.5, 5.0)) && !useLcmFps(Seq(2.0)))
+    val plan = extractionPlan(uniform(13, 10), Seq(Sequence), Seq(2.0, 5.0))
+    // lcm=10 selects 0..12; [::5] -> 0,5,10; [::2] -> evens
+    assert(plan("FrameExtractionPolicy.sequence-2000").toSeq == Seq(0, 5, 10))
+    assert(plan("FrameExtractionPolicy.sequence-5000").toSeq ==
+      Seq(0, 2, 4, 6, 8, 10, 12))
+    // non-integral target skips the shortcut and samples directly
+    val direct = extractionPlan(uniform(13, 10), Seq(Sequence), Seq(2.5, 5.0))
+    assert(direct("FrameExtractionPolicy.sequence-2500").toSeq == Seq(0, 4, 8, 12))
+  }
+
+  test("DataFrame stage appends the signature map; null timestamps get an empty map") {
+    val df = Seq(
+      (1L, Seq.tabulate(13)(i => i * 0.1f)),
+      (2L, null.asInstanceOf[Seq[Float]])
+    ).toDF("id", "frame_timestamps")
+    val out = FrameExtraction.withExtractedFrames(df, targetFps = Seq(2.0, 5.0))
+    val m = out.select("id", "extracted_frames").collect()
+      .map(r => r.getLong(0) -> r.getAs[Map[String, scala.collection.Seq[Int]]](1)).toMap
+    assert(m(1L)("FrameExtractionPolicy.sequence-2000").toSeq == Seq(0, 5, 10))
+    assert(m(2L).isEmpty)
+  }
+}
