@@ -37,9 +37,9 @@ final case class ClipStats(
   * embedding parquet, the chunk-stats json and (for chunk 0) the
   * video-level json — executor-side, no driver byte collection (the
   * ImageWriter pattern). The layout, naming and json shapes are ported
-  * 1:1; the per-clip numpy .pickle twin of the embedding parquet is
-  * Python-runtime-bound and intentionally skipped (the parquet carries
-  * the same vectors).
+  * 1:1, including the per-clip numpy .pickle embedding twin (emitted
+  * via [[graft.tools.NumpyPickle]] — genuinely unpicklable by
+  * CPython+numpy).
   *
   * JSON bytes match Python's `json.dumps(indent=4)` (writer_utils
   * .py:154) for the value shapes the stage emits — insertion-ordered
@@ -319,7 +319,17 @@ object ClipWriter {
               w.startFrame, w.endFrame, "webp"), w.webp)
         }
         if (hasWebp) s = s.copy(numWithWebp = 1)
-        if (clip.embedding != null) s = s.copy(numWithEmbeddings = 1)
+        if (clip.embedding != null) {
+          s = s.copy(numWithEmbeddings = 1)
+          // the reference also pickles each kept clip's embedding
+          // (clip_writer.py:337-353) — real numpy-unpicklable bytes
+          if (!dryRun) {
+            val embDir = if (embeddingAlgorithm == "internvideo2") pathIv2Embd(outputRoot)
+              else pathCe1Embd(outputRoot)
+            writeBytes(clipUri(embDir, clip.clipUuid, "pickle"),
+              graft.tools.NumpyPickle.float32(Seq(clip.embedding.length), clip.embedding))
+          }
+        }
       }
       val meta = clipMetadata(clip, vw, vh, vfr, outputRoot, captionModels, enhancedCaptionModels)
       if (!dryRun)

@@ -131,8 +131,10 @@ class TorchExportSpec extends AnyFunSuite {
     // cross-checks against genuine CPython pickle output (memoization,
     // SHORT_BINUNICODE/MEMOIZE/STACK_GLOBAL on protocol 4) — env-gated
     // on python3 being present
-    val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
-      .find(p => new java.io.File(p).canExecute)
+    val python = Seq("python3", "/usr/bin/python3", "/usr/local/bin/python3").find { p =>
+      try new ProcessBuilder(p, "-c", "1").start().waitFor() == 0
+      catch { case _: java.io.IOException => false }
+    }
     assume(python.isDefined, "python3 not available")
     val dir = java.nio.file.Files.createTempDirectory("torch_py").toString
     val script =

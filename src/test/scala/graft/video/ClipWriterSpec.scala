@@ -156,6 +156,9 @@ class ClipWriterSpec extends AnyFunSuite {
     val emb = spark.read.parquet(embFile)
     assert(emb.count() == 1) // only clip-a0 carried an embedding in chunk (a,0)
     assert(emb.columns.sorted.sameElements(Array("embedding", "id")))
+    // ... and the per-clip numpy pickle twin, kept clips only
+    assert(new java.io.File(s"$out1/ce1_embd/clip-a0.pickle").exists())
+    assert(!new java.io.File(s"$out1/ce1_embd/clip-a2.pickle").exists())
 
     // stats frame: chunk (a,0) passed 2 (filtered one excluded),
     // transcoded 3, durations include the filtered clip
@@ -187,6 +190,35 @@ class ClipWriterSpec extends AnyFunSuite {
         java.nio.file.Paths.get(s"$out2/$rel")), "UTF-8").replace(out2, "OUT")
       assert(b1 == b2, s"json $rel differs across runs")
     }
+  }
+
+  test("embedding pickles unpickle into real numpy arrays (env-gated on python3+numpy)") {
+    val python = Seq("python3", "/usr/bin/python3", "/usr/local/bin/python3").find { p =>
+      try new ProcessBuilder(p, "-c", "import numpy").start().waitFor() == 0
+      catch { case _: java.io.IOException => false }
+    }
+    assume(python.isDefined, "no python3 with numpy available")
+    val dir = java.nio.file.Files.createTempDirectory("nppkl").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/e.pickle"),
+      graft.tools.NumpyPickle.float32(Seq(2, 3), Array(1f, 2f, 3f, 4.5f, -0.25f, 6f)))
+    val script =
+      s"""
+try:
+    import numpy as np
+except ImportError:
+    print("NO_NUMPY"); raise SystemExit(0)
+import pickle
+a = pickle.load(open("$dir/e.pickle", "rb"))
+assert a.dtype == np.float32 and a.shape == (2, 3), (a.dtype, a.shape)
+assert a.tolist() == [[1.0, 2.0, 3.0], [4.5, -0.25, 6.0]], a.tolist()
+print("ok")
+"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/check.py"),
+      script.getBytes("UTF-8"))
+    val proc = new ProcessBuilder(python.get, s"$dir/check.py").redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assume(!out.contains("NO_NUMPY"), "numpy not available")
+    assert(proc.waitFor() == 0 && out.contains("ok"), s"numpy unpickle failed: $out")
   }
 
   test("dry run writes nothing but still returns the stats") {
