@@ -814,6 +814,34 @@ object SparkEntry {
           col("pos").cast("long").as("pos"), col("frame_idx").cast("long").as("frame_idx"))
     }),
 
+    // FixedStrideExtractorStage span arithmetic: fps=8 (a power of
+    // two) keeps every duration/event product EXACT in doubles, so
+    // start/end events are closed forms at every sf
+    "video_fixed_stride" -> ((s, dir) => {
+      val vids = spread(tbl(s, dir, "documents")).select(col("doc_id"),
+        concat(lit("vid"), col("doc_id")).as("video_name"),
+        (lit(50) + col("doc_id") % 100).cast("int").as("num_frames"),
+        lit(8.0).as("framerate"))
+      graft.video.SceneClips.fixedStrideClips(vids,
+          clipLenS = 4.0, clipStrideS = 3.0, minClipLengthS = 2.0)
+        .select(col("doc_id"), col("start_event"), col("end_event"),
+          round(col("span_start"), 6).as("span_start"),
+          round(col("span_end"), 6).as("span_end"))
+    }),
+
+    // QAMultilingualSyntheticStage: deterministic language pick +
+    // {language} template substitution + the *-stripping response
+    // post-processor, through the injected-LLM seam (fixture model
+    // bolds its output so the strip is exercised)
+    "synth_qa_multilingual" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").select(col("doc_id").as("id"))
+      graft.synth.QAMultilingual.withResponses(ids,
+          "Write one QA pair in {language}.",
+          Seq("English", "German", "Thai"),
+          llm = p => s"**$p**")
+        .select(col("id").as("doc_id"), col("language"), col("text"))
+    }),
+
     // ClipWriterStage deterministic layout: clip/metadata locations and
     // the filtered-clips routing rule as closed-form strings (the
     // distributed writer itself is byte-stability-gated in
@@ -1787,6 +1815,29 @@ object SparkEntry {
            SELECT doc_id, 'FrameExtractionPolicy.middle-5000', 0,
                   CASE WHEN nf % 2 = 0 THEN nf//2 - 1 ELSE nf//2 END
            FROM c""",
+
+      // stride starts 3k while 3k < nf/8; end = min(3k+4, nf/8);
+      // keep spans >= 2 s; fps 8 makes every product exact
+      "video_fixed_stride" ->
+        """WITH c AS (SELECT doc_id, 50 + CAST(doc_id % 100 AS INT) AS nf FROM documents),
+                ks AS (SELECT range AS k FROM range(0, 7)),
+                b AS (SELECT doc_id, 3.0*k AS s, LEAST(3.0*k + 4.0, nf/8.0) AS e
+                      FROM c, ks WHERE 3.0*k < nf/8.0)
+           SELECT doc_id,
+                  CAST(s*8.0 AS INT) AS start_event,
+                  CAST(e*8.0 AS INT) AS end_event,
+                  round(CAST(s AS DOUBLE), 6) AS span_start,
+                  round(CAST(e AS DOUBLE), 6) AS span_end
+           FROM b WHERE e - s >= 2.0""",
+
+      "synth_qa_multilingual" ->
+        """SELECT doc_id,
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'English'
+                       WHEN 1 THEN 'German' ELSE 'Thai' END AS language,
+                  'Write one QA pair in ' ||
+                  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'English'
+                       WHEN 1 THEN 'German' ELSE 'Thai' END || '.' AS text
+           FROM documents""",
 
       // the ClipWriter layout contract as closed-form strings; the
       // filtered-clips rule routes every 5th clip to filtered_clips/

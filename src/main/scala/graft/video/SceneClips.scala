@@ -141,4 +141,46 @@ object SceneClips {
       .withColumn("clip_end", col("_sc._2"))
       .drop("_sc")
   }
+
+  /** FixedStrideExtractorStage (clip_extraction_stages.py:347-412):
+    * spans of `clipLenS` every `clipStrideS` seconds over duration =
+    * num_frames / framerate (clips shorter than `minClipLengthS`
+    * dropped, the last span clamped to the duration), each with the
+    * uuid5("{video}_{int(start*fps)}_{int(end*fps)}") clip id. Pure
+    * per-row arithmetic; rows with missing/zero metadata yield no
+    * clips (the reference's incomplete-metadata skip). The reference's
+    * `limit_clips` is an already-clipped idempotency guard on mutable
+    * VideoTask state, not a cap on produced spans — stateless
+    * DataFrame rows have nothing to guard, so it has no counterpart
+    * here.
+    */
+  def fixedStrideClips(df: DataFrame, clipLenS: Double, clipStrideS: Double,
+                       minClipLengthS: Double,
+                       nameCol: String = "video_name", framesCol: String = "num_frames",
+                       fpsCol: String = "framerate"): DataFrame = {
+    val u = udf((name: String, numFrames: java.lang.Integer, fps: java.lang.Double) => {
+      if (name == null || numFrames == null || fps == null || fps <= 0)
+        Seq.empty[(String, Double, Double, Int, Int)]
+      else {
+        val duration = numFrames.toDouble / fps
+        val bounds = Iterator.iterate(0.0)(_ + clipStrideS).takeWhile(_ < duration)
+          .map(s => (s, math.min(s + clipLenS, duration)))
+          .filter { case (s, e) => e - s >= minClipLengthS }
+          .toSeq
+        bounds.map { case (s, e) =>
+          val startEvent = (s * fps).toInt
+          val endEvent = (e * fps).toInt
+          (graft.dedup.IdGenerator.uuid5(s"${name}_${startEvent}_${endEvent}"),
+            s, e, startEvent, endEvent)
+        }
+      }
+    }).asNondeterministic() // pure; avoid Catalyst re-evaluation per projection
+    df.withColumn("_fc", explode(u(col(nameCol), col(framesCol), col(fpsCol))))
+      .withColumn("clip_uuid", col("_fc._1"))
+      .withColumn("span_start", col("_fc._2"))
+      .withColumn("span_end", col("_fc._3"))
+      .withColumn("start_event", col("_fc._4"))
+      .withColumn("end_event", col("_fc._5"))
+      .drop("_fc")
+  }
 }
