@@ -244,7 +244,10 @@ object ExportArtifacts {
     case "gemb" :: ckpt :: vocabPath :: out :: wName :: Nil =>
       val t = TorchCheckpoint.load(ckpt)
       val w = t(wName)
-      val vocab = scala.io.Source.fromFile(vocabPath, "UTF-8").getLines().toVector
+      val vocab = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(vocabPath)).asScala.toVector
+      }
       require(vocab.length == w.rows,
         s"vocab ${vocab.length} lines != ${w.rows} embedding rows")
       graft.sim.WordVecEmbedder.write(out, w.cols, vocab.zipWithIndex.map {

@@ -42,10 +42,9 @@ final case class ClipStats(
   * CPython+numpy).
   *
   * JSON bytes match Python's `json.dumps(indent=4)` (writer_utils
-  * .py:154) for the value shapes the stage emits — insertion-ordered
-  * keys, 4-space indent, ensure_ascii escaping; float exponent
-  * formatting beyond ~1e16 differs (Java vs Python repr) and never
-  * occurs in these fields.
+  * .py:154): insertion-ordered keys, 4-space indent, ensure_ascii
+  * escaping, and CPython float repr via [[graft.text.PyFloat]]
+  * (positional/scientific thresholds included).
   */
 object ClipWriter {
 
@@ -120,8 +119,7 @@ object ClipWriter {
       case b: Boolean => if (b) "true" else "false"
       case i: Int => i.toString
       case l: Long => l.toString
-      case d: Double =>
-        if (d == math.rint(d) && math.abs(d) < 1e16) s"${d.toLong}.0" else d.toString
+      case d: Double => graft.text.PyFloat.repr(d)
       case f: Float => pyJson(f.toDouble, level)
       case s: String =>
         val sb = new StringBuilder("\"")
@@ -158,7 +156,7 @@ object ClipWriter {
       buffer: Array[Byte], embedding: Array[Float],
       motionGlobalMean: Option[Double], motionPerPatchMin256: Option[Double],
       aestheticScore: Option[Double], errors: Seq[String], filtered: Boolean,
-      windows: Seq[WindowRow])
+      filterReason: Option[String], windows: Seq[WindowRow])
 
   final case class WindowRow(startFrame: Int, endFrame: Int, webp: Array[Byte],
                              captions: Map[String, String],
@@ -212,8 +210,14 @@ object ClipWriter {
     * metadata only, and do NOT count as passed: clip_writer.py:160-171,
     * 320-336), previews/{uuid}/{s}_{e}.webp, metas/v0/{uuid}.json, the
     * chunk's embedding parquet, processed_clip_chunks/..._{i}.json and
-    * (chunk 0 only) processed_videos/....json. Input columns: see
-    * `requiredColumns`; video-level metadata columns repeat per row.
+    * (chunk 0 only) processed_videos/....json. Required input columns:
+    * source_video, clip_chunk_index, clip_uuid, span_start, span_end,
+    * filtered. Optional per-clip: buffer, embedding,
+    * motion_global_mean, motion_per_patch_min_256, aesthetic_score,
+    * errors, filter_reason ("motion"/"aesthetic" → the chunk-stats
+    * counters), windows. Optional video-level (repeat per row): width,
+    * height, framerate, num_frames, duration, video_codec,
+    * pixel_format, audio_codec, num_total_clips, num_clip_chunks.
     * Returns the per-chunk stats as a DataFrame.
     */
   def write(df: DataFrame, outputRoot: String, inputRoot: String,
@@ -274,6 +278,7 @@ object ClipWriter {
     getOptD(r, "aesthetic_score"),
     optCol[scala.collection.Seq[String]](r, "errors").map(_.toSeq).getOrElse(Nil),
     r.getAs[Boolean]("filtered"),
+    optCol[String](r, "filter_reason"),
     optCol[scala.collection.Seq[Row]](r, "windows").map(_.toSeq).getOrElse(Nil).map { w =>
       WindowRow(w.getAs[Int]("start_frame"), w.getAs[Int]("end_frame"),
         optCol[Array[Byte]](w, "webp").orNull,
@@ -346,6 +351,12 @@ object ClipWriter {
 
     keptClips.foreach(writeClipFiles)
     filteredClips.foreach(writeClipFiles)
+    // the upstream filter stages' counters (motion_filter.py:153,
+    // clip_aesthetic_filter.py:97 via video.clip_stats) ride in on the
+    // optional filter_reason column of filtered rows
+    stats = stats.copy(
+      numFilteredByMotion = filteredClips.count(_.filterReason.contains("motion")),
+      numFilteredByAesthetic = filteredClips.count(_.filterReason.contains("aesthetic")))
 
     // per-chunk embedding parquet (kept clips with embeddings, clip order)
     val withEmb = keptClips.filter(_.embedding != null)
@@ -355,15 +366,18 @@ object ClipWriter {
       writeEmbeddingParquet(dest, withEmb.map(c => (c.clipUuid, c.embedding)))
     }
 
-    // chunk stats json + (chunk 0) the video-level json
-    if (!dryRun) {
+    // chunk stats json + (chunk 0) the video-level json — written even
+    // on dry runs: the reference gates only the payload writes, and
+    // downstream resume checks key on these jsons
+    // (clip_writer.py:427-482 has no dry_run gate)
+    {
       if (chunkIdx == 0) {
         val vmeta = Seq[(String, Any)](
           "video" -> video, "height" -> vh.orNull, "width" -> vw.orNull,
           "framerate" -> vfr.orNull,
           "num_frames" -> getOptI(head, "num_frames").orNull,
           "duration" -> getOptD(head, "duration").orNull,
-          "video_codec" -> Option(head.getAs[String]("video_codec")).orNull,
+          "video_codec" -> optStr(head, "video_codec"),
           "pixel_format" -> optStr(head, "pixel_format"),
           "audio_format" -> optStr(head, "audio_codec"),
           "num_total_clips" -> getOptI(head, "num_total_clips").getOrElse(clips.size),

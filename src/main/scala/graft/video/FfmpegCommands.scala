@@ -57,8 +57,7 @@ object FfmpegCommands {
   /** Python str(float) for the -ss/-to span values (the reference
     * interpolates the raw float span).
     */
-  private def fmt(d: Double): String =
-    if (d == math.rint(d) && math.abs(d) < 1e16) s"${d.toLong}.0" else d.toString
+  private def fmt(d: Double): String = graft.text.PyFloat.repr(d)
 
   /** The webp preview command (fps+scale filter, libwebp knobs). */
   def previewCommand(inputMp4: String, outputWebp: String,

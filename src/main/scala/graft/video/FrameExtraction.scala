@@ -54,19 +54,22 @@ object FrameExtraction {
     */
   def findClosestIndices(src: Array[Float], dst: Array[Float]): Array[Int] =
     dst.map { d =>
-      var right = java.util.Arrays.binarySearch(src, d) match {
-        case i if i >= 0 => i // exact hit = searchsorted left insertion point
-        case i => -i - 1
-      }
-      right = math.min(math.max(right, 1), src.length - 1)
-      val left = right - 1
-      // single-element src: numpy's clip(·,1,0) yields right=0/left=-1,
-      // and the -1 winds through Python list indexing to the LAST (=
-      // only) element — normalize the wraparound instead of crashing
-      val chosen =
+      // beyond-end override first (decoder_utils.py:315-316): anything
+      // at or past the last timestamp clamps to the final index —
+      // also what makes a duplicated trailing pts resolve RIGHT
+      if (d >= src(src.length - 1)) src.length - 1
+      else {
+        var right = java.util.Arrays.binarySearch(src, d) match {
+          case i if i >= 0 => i // exact hit = searchsorted left insertion point
+          case i => -i - 1
+        }
+        right = math.min(math.max(right, 1), src.length - 1)
+        val left = right - 1
+        // single-element src never reaches here (the clamp above
+        // catches it — numpy's clip(·,1,0)/index -1 path)
         if (left >= 0 && math.abs(d - src(right)) >= math.abs(d - src(left))) left
         else right
-      if (chosen < 0) chosen + src.length else chosen
+      }
     }
 
   /** sample_closest (decoder_utils.py:321-389): indices+counts of the
@@ -98,10 +101,13 @@ object FrameExtraction {
   }
 
   /** extract_frames' index selection (decoder_utils.py:641-659) as
-    * ABSOLUTE frame indices: policy slices the timestamp list
-    * (sequence = all; middle = the single middle frame, even counts
-    * take the left of the pair), then sample_closest picks the
-    * target-fps grid. first/last raise, as in the reference.
+    * ABSOLUTE frame indices, one per SAMPLE: policy slices the
+    * timestamp list (sequence = all; middle = the single middle frame,
+    * even counts take the left of the pair), sample_closest picks the
+    * target-fps grid, and the decoder materializes each index `counts`
+    * times (decode_video_cpu_frame_ids preallocates counts.sum()
+    * frames) — supersampling REPEATS frames, so the returned sequence
+    * repeats indices. first/last raise, as in the reference.
     */
   def frameIndices(timestamps: Array[Float], policy: Policy, sampleRateFps: Double): Array[Int] = {
     require(timestamps.nonEmpty, "Can't extract frames from empty video")
@@ -113,8 +119,8 @@ object FrameExtraction {
         (timestamps.slice(i, i + 1), i)
       } else throw new UnsupportedOperationException(
         "Extraction policies apart from Sequence and Middle not available yet")
-    val (idx, _, _) = sampleClosest(sliced, sampleRateFps)
-    idx.map(_ + offset)
+    val (idx, counts, _) = sampleClosest(sliced, sampleRateFps)
+    idx.zip(counts).flatMap { case (i, c) => Array.fill(c)(i + offset) }
   }
 
   /** The full stage arithmetic for one clip (clip_frame_extraction

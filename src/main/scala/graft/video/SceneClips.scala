@@ -158,6 +158,9 @@ object SceneClips {
                        minClipLengthS: Double,
                        nameCol: String = "video_name", framesCol: String = "num_frames",
                        fpsCol: String = "framerate"): DataFrame = {
+    // a zero/negative stride would spin the span iterator forever
+    // inside an executor task — fail fast at plan time instead
+    require(clipStrideS > 0, s"clipStrideS must be > 0, got $clipStrideS")
     val u = udf((name: String, numFrames: java.lang.Integer, fps: java.lang.Double) => {
       if (name == null || numFrames == null || fps == null || fps <= 0)
         Seq.empty[(String, Double, Double, Int, Int)]

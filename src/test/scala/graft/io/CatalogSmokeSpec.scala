@@ -51,11 +51,13 @@ class CatalogSmokeSpec extends AnyFunSuite {
       io.write(pages, "pages_part_smoke", partitionCols = Seq("lang"))
       val byLang = io.read(spark, "pages_part_smoke").filter(col("lang") === "en")
       assert(byLang.count() == 2)
-      // the filter must reach the scan as a partition filter, not a
-      // post-scan predicate over all partitions
+      // the filter must reach the scan as a NON-EMPTY partition filter
+      // — a full scan with a post-scan predicate would still mention
+      // "lang" in the plan text, so match the PartitionFilters list
+      // itself
       val scanText = byLang.queryExecution.executedPlan.toString
-      assert(scanText.contains("PartitionFilters") || scanText.contains("lang"),
-        s"expected a partition-pruned scan, got:\n$scanText")
+      assert("PartitionFilters: \\[[^\\]]*lang[^\\]]*\\]".r.findFirstIn(scanText).isDefined,
+        s"expected lang inside a non-empty PartitionFilters list, got:\n$scanText")
     } finally spark.sql("DROP TABLE IF EXISTS spark_catalog.default.pages_part_smoke")
   }
 }

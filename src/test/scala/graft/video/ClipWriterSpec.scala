@@ -94,6 +94,7 @@ class ClipWriterSpec extends AnyFunSuite {
       StructField("aesthetic_score", DoubleType),
       StructField("errors", ArrayType(StringType)),
       StructField("filtered", BooleanType),
+      StructField("filter_reason", StringType),
       StructField("windows", windowType),
       StructField("width", IntegerType), StructField("height", IntegerType),
       StructField("framerate", DoubleType), StructField("num_frames", IntegerType),
@@ -102,16 +103,16 @@ class ClipWriterSpec extends AnyFunSuite {
     val win = Row(0, 64, "webpbytes".getBytes, Map("qwen" -> "a cat"), Map.empty[String, String])
     val rows = Seq(
       Row("/in/a.mp4", 0, "clip-a0", 0.0, 2.0, "mp4a0".getBytes, Seq(1.0f, 0.0f),
-        0.8, 0.4, 5.5, Seq.empty[String], false, Seq(win),
+        0.8, 0.4, 5.5, Seq.empty[String], false, null, Seq(win),
         1920, 1080, 30.0, 300, 10.0, "avc1", 3, 1),
       Row("/in/a.mp4", 0, "clip-a1", 2.0, 5.5, "mp4a1".getBytes, null,
-        null, null, null, Seq.empty[String], false, Seq.empty[Row],
+        null, null, null, Seq.empty[String], false, null, Seq.empty[Row],
         1920, 1080, 30.0, 300, 10.0, "avc1", 3, 1),
       Row("/in/a.mp4", 0, "clip-a2", 5.5, 6.0, "mp4a2".getBytes, null,
-        null, null, 2.0, Seq.empty[String], true, Seq.empty[Row],
+        null, null, 2.0, Seq.empty[String], true, "aesthetic", Seq.empty[Row],
         1920, 1080, 30.0, 300, 10.0, "avc1", 3, 1),
       Row("/in/b.mp4", 1, "clip-b0", 1.0, 2.0, "mp4b0".getBytes, Seq(0.0f, 1.0f),
-        null, null, null, Seq("decode warn"), false, Seq.empty[Row],
+        null, null, null, Seq("decode warn"), false, null, Seq.empty[Row],
         640, 480, 25.0, 50, 2.0, "hevc", 4, 2))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
   }
@@ -149,6 +150,12 @@ class ClipWriterSpec extends AnyFunSuite {
     assert(metaA0.contains(""""qwen_caption": "a cat""""))
     assert(metaA0.contains(""""global_mean": 0.8"""))
     assert(metaA0.contains(""""num_bytes": 5"""))
+
+    // filter_reason flows into the chunk-stats counters
+    val chunkA = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out1/processed_clip_chunks/a.mp4_0.json")), "UTF-8")
+    assert(chunkA.contains(""""num_clips_filtered_by_aesthetic": 1"""))
+    assert(chunkA.contains(""""num_clips_filtered_by_motion": 0"""))
 
     // per-chunk embedding parquet named by uuid5 and readable by Spark
     val embFile = ClipWriter.embeddingParquetUri(out1, "/in/a.mp4", 0)
@@ -221,12 +228,18 @@ print("ok")
     assert(proc.waitFor() == 0 && out.contains("ok"), s"numpy unpickle failed: $out")
   }
 
-  test("dry run writes nothing but still returns the stats") {
+  test("dry run writes only the chunk/video jsons (reference gates payloads only)") {
     val out = java.nio.file.Files.createTempDirectory("clipw_dry").toString
     val stats = ClipWriter.write(clipsDf(), out, "/in", dryRun = true)
     assert(stats.count() == 2)
-    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
-    try assert(files.filter(java.nio.file.Files.isRegularFile(_)).count() == 0)
-    finally files.close()
+    val files = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .map[String](_.getFileName.toString).sorted().toArray.map(_.toString).toSeq
+      finally st.close()
+    }
+    // stats/metadata jsons survive a dry run (clip_writer.py:427-482
+    // has no dry_run gate); every payload write is suppressed
+    assert(files == Seq("a.mp4.json", "a.mp4_0.json", "b.mp4_1.json"))
   }
 }

@@ -50,6 +50,21 @@ class FrameExtractionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { frameIndices(Array.empty[Float], Sequence, 2) }
   }
 
+  test("supersampling repeats frames per sample (decode preallocates counts.sum())") {
+    // 2 frames at 2fps sampled at 10fps -> each frame decoded 3x
+    assert(frameIndices(Array(0.0f, 0.5f), Sequence, 10).toSeq ==
+      Seq(0, 0, 0, 1, 1, 1))
+    // LCM path strides the REPEATED sequence, like frames[::k]:
+    // lcm(2,5)=10 over the 2fps clip -> base [0,0,0,1,1,1];
+    // [::5] -> positions 0,5 -> frames 0 AND 1; [::2] -> [0,0,1]
+    val plan = extractionPlan(Array(0.0f, 0.5f), Seq(Sequence), Seq(2.0, 5.0))
+    assert(plan("FrameExtractionPolicy.sequence-2000").toSeq == Seq(0, 1))
+    assert(plan("FrameExtractionPolicy.sequence-5000").toSeq == Seq(0, 0, 1))
+    // beyond-end override: duplicated trailing pts resolve to the LAST
+    // index, not the left tie (decoder_utils.py:315-316)
+    assert(findClosestIndices(Array(0.0f, 1.0f, 1.0f), Array(1.2f)).toSeq == Seq(2))
+  }
+
   test("LCM decode sharing: one pass at lcm fps, strided per target") {
     assert(lcmMultiple(Seq(2.0, 5.0)) == 10)
     assert(useLcmFps(Seq(2.0, 5.0)) && !useLcmFps(Seq(2.5, 5.0)) && !useLcmFps(Seq(2.0)))
