@@ -98,6 +98,32 @@ final class ManifestParquetIO(root: String) extends TableIO with Serializable {
   }
 }
 
+/** `utils/split_large_files.py`'s job — rewrite parquet into
+  * ~target-size files — done Spark-first: instead of the reference's
+  * driver-side row-group halving recursion, size a `maxRecordsPerFile`
+  * from the source's measured bytes/row and let the distributed writer
+  * split (row-group surgery is the Ray tool's workaround for not
+  * having one).
+  */
+object SplitBySize {
+  def rewrite(spark: org.apache.spark.sql.SparkSession, inputPath: String,
+              outDir: String, targetSizeMb: Int): Unit = {
+    require(targetSizeMb > 0, s"targetSizeMb must be > 0, got $targetSizeMb")
+    val df = spark.read.parquet(inputPath)
+    val rows = df.count()
+    val bytes = {
+      val p = new org.apache.hadoop.fs.Path(inputPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(p).getLength
+    }
+    val bytesPerRow = math.max(1L, if (rows == 0) 1L else bytes / math.max(1L, rows))
+    val rowsPerFile = math.max(1L, targetSizeMb.toLong * 1024 * 1024 / bytesPerRow)
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(outDir)
+  }
+}
+
 /** Catalog-table impl of [[TableIO]] over Spark's DataFrameWriterV2 —
   * the Iceberg-native path (SURVEY.md §7.4 hard part 6). Compiles against
   * the Spark API alone; at deploy time the cluster adds the Iceberg
