@@ -54,6 +54,24 @@ class FfmpegCommandsSpec extends AnyFunSuite {
       .containsSlice(Seq("-vf", "scale_npp=320:180,hwdownload,format=nv12")))
   }
 
+  test("fixedStrideClips mirrors the reference's own test vector (8 clips over 20 s)") {
+    import spark.implicits._
+    // tests/stages/video/clipping/test_fixed_stride_extractor_stage.py
+    // test_clip_generation_logic: len 5.0 stride 2.5 min 1.0, 600
+    // frames at 30 fps -> exactly these 8 spans and uuid5 ids
+    val vids = Seq(("test_video.mp4", 600, 30.0)).toDF("video_name", "num_frames", "framerate")
+    val rows = SceneClips.fixedStrideClips(vids, 5.0, 2.5, 1.0)
+      .select("span_start", "span_end", "clip_uuid").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getString(2)))
+    val expected = Seq((0.0, 5.0), (2.5, 7.5), (5.0, 10.0), (7.5, 12.5),
+      (10.0, 15.0), (12.5, 17.5), (15.0, 20.0), (17.5, 20.0))
+    assert(rows.map(t => (t._1, t._2)).toSeq == expected)
+    rows.zip(expected).foreach { case ((s, e, u), _) =>
+      assert(u == graft.dedup.IdGenerator.uuid5(
+        s"test_video.mp4_${(s * 30.0).toInt}_${(e * 30.0).toInt}"))
+    }
+  }
+
   test("fixedStrideClips: stride spans, min-length drop, duration clamp, uuid5 ids") {
     import spark.implicits._
     val vids = Seq(("v", 100, 10.0)).toDF("video_name", "num_frames", "framerate")

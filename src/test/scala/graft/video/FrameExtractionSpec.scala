@@ -66,6 +66,12 @@ class FrameExtractionSpec extends AnyFunSuite {
   }
 
   test("LCM decode sharing: one pass at lcm fps, strided per target") {
+    // reference's own vectors (test_clip_frame_extraction.py):
+    assert(lcmMultiple(Seq(2.0, 3.0, 4.0)) == 12)
+    assert(lcmMultiple(Seq(5.0)) == 5)
+    assert(lcmMultiple(Seq(3.0, 5.0, 7.0)) == 105)
+    // FramePurpose defaults: AESTHETICS -> 1 fps, EMBEDDINGS -> 2 fps
+    assert(PurposeAesthetics == 1 && PurposeEmbeddings == 2)
     assert(lcmMultiple(Seq(2.0, 5.0)) == 10)
     assert(useLcmFps(Seq(2.0, 5.0)) && !useLcmFps(Seq(2.5, 5.0)) && !useLcmFps(Seq(2.0)))
     val plan = extractionPlan(uniform(13, 10), Seq(Sequence), Seq(2.0, 5.0))
