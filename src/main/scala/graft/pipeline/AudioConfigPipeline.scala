@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.audio.{AudioMetrics, AudioStages, Fleurs}
+
+/** Runner for the reference's Hydra `processors:` audio configs
+  * (tutorials/audio/fleurs/pipeline.yaml) — the second YAML dialect
+  * next to [[ConfigPipeline]]'s `stages:`/`workflow:` forms: a flat
+  * `_target_` processor list with `${var}` interpolation against
+  * top-level keys (including nested references like
+  * `output_dir: ${raw_data_dir}/result`) and `???` required
+  * overrides. The network fetch and the NeMo ASR model are the usual
+  * injected seams; every other processor dispatches to the ported
+  * audio stages, so the reference's own config file executes
+  * unchanged.
+  */
+object AudioConfigPipeline {
+
+  /** Runs every processor in order and returns the final frame (also
+    * written by a trailing JsonlWriter processor, if present).
+    */
+  def run(spark: SparkSession, yamlPath: String,
+          overrides: Map[String, String],
+          fetch: String => Array[Byte],
+          asr: Array[Byte] => String): DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = mapper.readValue(new java.io.File(yamlPath),
+      classOf[java.util.Map[String, Object]]).asScala
+
+    def scalar(v: Object): Option[String] = v match {
+      case null => None
+      case s: String => Some(s)
+      case n: Number => Some(n.toString)
+      case b: java.lang.Boolean => Some(b.toString)
+      case _ => None
+    }
+    // top-level vars with fixpoint interpolation (output_dir references
+    // raw_data_dir); overrides shadow, and must fill every ???
+    var vars = root.toMap.collect { case (k, v) if scalar(v).isDefined => k -> scalar(v).get } ++
+      overrides
+    var changed = true
+    while (changed) {
+      changed = false
+      vars = vars.map { case (k, v) =>
+        val r = "\\$\\{(\\w+)\\}".r.replaceAllIn(v, m =>
+          java.util.regex.Matcher.quoteReplacement(vars.getOrElse(m.group(1), m.matched)))
+        if (r != v) changed = true
+        k -> r
+      }
+    }
+    def resolve(raw: String): String = {
+      val r = "\\$\\{(\\w+)\\}".r.replaceAllIn(raw, m =>
+        java.util.regex.Matcher.quoteReplacement(vars.getOrElse(m.group(1),
+          throw new IllegalArgumentException(s"unresolved config var $${${m.group(1)}}"))))
+      require(!r.contains("???"),
+        s"config value '$raw' resolves to '$r' — an unresolved required override (???)")
+      r
+    }
+
+    val processors = root.get("processors") match {
+      case Some(l: java.util.List[_]) =>
+        l.asScala.toVector.map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
+      case _ => throw new IllegalArgumentException(s"$yamlPath has no processors: list")
+    }
+
+    processors.foldLeft(null: DataFrame) { (df, p) =>
+      def str(k: String, default: => String = null): String =
+        p.get(k).flatMap(scalar).map(resolve).getOrElse(default)
+      val target = scalar(p("_target_")).get.split('.').last
+      target match {
+        case "CreateInitialManifestFleursStage" =>
+          Fleurs.initialManifest(spark, str("lang"), str("split"),
+            (url: String, out: java.io.OutputStream) => out.write(fetch(url)),
+            str("raw_data_dir"))
+        case "InferenceAsrNemoStage" =>
+          AudioStages.withTranscription(df, asr)
+        case "GetPairwiseWerStage" =>
+          AudioMetrics.withWer(df, str("text_key", "text"),
+            str("pred_text_key", "pred_text"), str("wer_key", "wer"))
+        case "GetAudioDurationStage" =>
+          AudioStages.withDuration(df, durationCol = str("duration_key", "duration"))
+        case "PreserveByValueStage" =>
+          AudioStages.preserveByValue(df, str("input_value_key"),
+            lit(str("target_value").toDouble), str("operator", "eq"))
+        case "AudioToDocumentStage" =>
+          // DocumentBatch keeps the text-side fields; the binary
+          // payload stays behind (audio/io/convert.py wraps the same
+          // dict rows minus the in-memory audio object)
+          AudioStages.audioToDocument(df, df.columns.filterNot(_ == "audio").toSeq)
+        case "JsonlWriter" =>
+          graft.io.JsonlIO.write(df, str("path"))
+          df
+        case other =>
+          throw new IllegalArgumentException(s"unsupported processor _target_: $other")
+      }
+    }
+  }
+}
