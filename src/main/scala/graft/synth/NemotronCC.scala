@@ -223,15 +223,13 @@ object NemotronCC {
                      languages: Seq[String], numSamples: Int,
                      llm: (Option[String], String) => String,
                      seed: Long = 42, partitions: Int = 8): DataFrame = {
-    import spark.implicits._
+    // delegates to the stage object (graft.synth.QAMultilingual) with
+    // this entry point's seeded language draw preserved
     val langs = languages.toIndexedSeq
-    val ds = spark.range(numSamples.toLong).repartition(math.max(1, partitions))
-    val u = udf((i: Long) => {
-      val rnd = new scala.util.Random(seed ^ i)
-      val language = langs(rnd.nextInt(langs.length))
-      val resp = llm(None, promptTemplate.replace("{language}", language))
-      if (resp == null) "" else resp.replace("*", "")
-    }).asNondeterministic()
-    ds.select(u(col("id")).as("text"))
+    QAMultilingual.withResponses(
+        spark.range(numSamples.toLong).repartition(math.max(1, partitions)).toDF(),
+        promptTemplate, languages, p => llm(None, p),
+        chooseLanguage = i => langs(new scala.util.Random(seed ^ i).nextInt(langs.length)))
+      .select(col("text"))
   }
 }

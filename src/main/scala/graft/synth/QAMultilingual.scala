@@ -40,7 +40,8 @@ object QAMultilingual {
     val f = udf { id: Long =>
       val language = choose(id)
       val p = formatPrompt(prompt, language)
-      (language, processResponse(llm(p)))
+      val resp = llm(p)
+      (language, processResponse(if (resp == null) "" else resp))
     }.asNondeterministic() // the llm seam may be expensive; evaluate once
     df.withColumn("_r", f(col(idCol)))
       .withColumn("language", col("_r._1"))

@@ -155,6 +155,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(motion).isEmpty, planString(motion))
   }
 
+  test("round-5 video stages stay zero-exchange; semantic gate joins are equi only") {
+    // frame extraction + fixed-stride clipping: pure per-row maps —
+    // an exchange here would serialize the 100 TB decode planning
+    val ts = docs.select($"doc_id",
+      expr("transform(sequence(0, 12), i -> CAST(i / 10.0D AS FLOAT))").as("frame_timestamps"))
+    val frames = graft.video.FrameExtraction.withExtractedFrames(ts)
+    assert(shuffles(frames).isEmpty, planString(frames))
+
+    val vids = docs.select($"doc_id", concat(lit("v"), $"doc_id").as("video_name"),
+      lit(100).cast("int").as("num_frames"), lit(10.0).as("framerate"))
+    val stride = graft.video.SceneClips.fixedStrideClips(vids, 4.0, 3.0, 2.0)
+    assert(shuffles(stride).isEmpty, planString(stride))
+
+    // the rebuilt semantic_dedup_ids gate: blocked equi-joins only —
+    // the old all-pairs non-equi join must never come back
+    val gate = graft.SparkEntry.queries("semantic_dedup_ids")(spark, "/root/testdata/sf0.001")
+    val plan = planString(gate)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("webdataset shard scan keeps one task per shard (ArchiveIO parallel grain)") {
     val dir = java.nio.file.Files.createTempDirectory("wds_plan").toString
     (0 until 3).foreach { i =>
