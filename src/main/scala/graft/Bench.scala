@@ -114,8 +114,25 @@ object Bench {
 
     val total = results.filter(_._1.endsWith("_sec")).values.sum +
       results.filterNot(k => k._1.endsWith("_sec") || k._1.endsWith("_per_s")).values.filter(_ > 0).sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def json(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // full per-query line first (for the log / post-hoc reads), then a
+    // SUMMARY line sized for the driver's 2000-char stdout tail window
+    // — the full line outgrew that window at round 3 and every
+    // BENCH_r{2,3,4}.json carries "parsed": null because of it; the
+    // last printed line must be complete valid JSON inside the tail
+    println(json(results.toSeq))
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
+      json(results.toSeq).getBytes("UTF-8"))
+    val headline = results.toSeq.filter { case (k, _) =>
+      k.endsWith("_per_s") || k.endsWith("_sec") }
+    val slowest = results.toSeq
+      .filterNot { case (k, _) => k.endsWith("_per_s") || k.endsWith("_sec") }
+      .sortBy(-_._2).take(18)
+    val omitted = results.size - headline.size - slowest.size
+    println(json((headline ++ slowest.sortBy(_._1)) :+ ("queries_omitted_fast" -> omitted.toDouble)))
     spark.stop()
   }
 }
