@@ -109,6 +109,13 @@ object SplitBySize {
   def rewrite(spark: org.apache.spark.sql.SparkSession, inputPath: String,
               outDir: String, targetSizeMb: Int): Unit = {
     require(targetSizeMb > 0, s"targetSizeMb must be > 0, got $targetSizeMb")
+    // Overwrite deletes outDir BEFORE the lazy scan of inputPath runs —
+    // an in-place rewrite would destroy the source with nothing written
+    val in = java.nio.file.Paths.get(inputPath).toAbsolutePath.normalize
+    val out = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+    require(!out.startsWith(in) && !in.startsWith(out),
+      s"outDir $out must not be inside (or equal to) inputPath $in — " +
+        "the overwrite would delete the source before it is read")
     val df = spark.read.parquet(inputPath)
     val rows = df.count()
     val bytes = {

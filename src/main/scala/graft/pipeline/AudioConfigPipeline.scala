@@ -37,33 +37,29 @@ object AudioConfigPipeline {
       case b: java.lang.Boolean => Some(b.toString)
       case _ => None
     }
-    // top-level vars with fixpoint interpolation (output_dir references
-    // raw_data_dir); overrides shadow, and must fill every ???
-    var vars = root.toMap.collect { case (k, v) if scalar(v).isDefined => k -> scalar(v).get } ++
-      overrides
-    var changed = true
-    while (changed) {
-      changed = false
-      vars = vars.map { case (k, v) =>
-        val r = "\\$\\{(\\w+)\\}".r.replaceAllIn(v, m =>
-          java.util.regex.Matcher.quoteReplacement(vars.getOrElse(m.group(1), m.matched)))
-        if (r != v) changed = true
-        k -> r
-      }
-    }
-    def resolve(raw: String): String = {
-      val r = "\\$\\{(\\w+)\\}".r.replaceAllIn(raw, m =>
-        java.util.regex.Matcher.quoteReplacement(vars.getOrElse(m.group(1),
-          throw new IllegalArgumentException(s"unresolved config var $${${m.group(1)}}"))))
-      require(!r.contains("???"),
-        s"config value '$raw' resolves to '$r' — an unresolved required override (???)")
-      r
-    }
+    // top-level vars with bounded fixpoint interpolation (output_dir
+    // references raw_data_dir); overrides shadow, and must fill every ???
+    val vars = YamlVars.fixpoint(
+      root.toMap.collect { case (k, v) if scalar(v).isDefined => k -> scalar(v).get } ++
+        overrides)
+    def resolve(raw: String): String = YamlVars.resolve(raw, vars)
 
-    val processors = root.get("processors") match {
+    val all = root.get("processors") match {
       case Some(l: java.util.List[_]) =>
         l.asScala.toVector.map(_.asInstanceOf[java.util.Map[String, Object]].asScala)
       case _ => throw new IllegalArgumentException(s"$yamlPath has no processors: list")
+    }
+    // processors_to_run: "all" or a "start:stop" slice (partial reruns
+    // over an existing manifest); anything else must not run silently
+    val processors = vars.getOrElse("processors_to_run", "all") match {
+      case "all" => all
+      case s if s.matches("-?\\d*:-?\\d*") =>
+        val parts = s.split(":", -1)
+        def idx(p: String, default: Int) =
+          if (p.isEmpty) default else if (p.toInt < 0) all.size + p.toInt else p.toInt
+        all.slice(idx(parts(0), 0), idx(parts(1), all.size))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported processors_to_run: $other")
     }
 
     processors.foldLeft(null: DataFrame) { (df, p) =>
@@ -83,8 +79,16 @@ object AudioConfigPipeline {
         case "GetAudioDurationStage" =>
           AudioStages.withDuration(df, durationCol = str("duration_key", "duration"))
         case "PreserveByValueStage" =>
+          // target_value is `int | str` in the reference
+          // (audio/common.py:86): keep the YAML node's own type
+          val target = p.getOrElse("target_value",
+            throw new IllegalArgumentException("PreserveByValueStage needs target_value")) match {
+            case n: Number => lit(n.doubleValue())
+            case s: String => lit(resolve(s))
+            case other => throw new IllegalArgumentException(s"bad target_value: $other")
+          }
           AudioStages.preserveByValue(df, str("input_value_key"),
-            lit(str("target_value").toDouble), str("operator", "eq"))
+            target, str("operator", "eq"))
         case "AudioToDocumentStage" =>
           // DocumentBatch keeps the text-side fields; the binary
           // payload stays behind (audio/io/convert.py wraps the same

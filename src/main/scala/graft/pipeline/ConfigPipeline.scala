@@ -44,19 +44,7 @@ object ConfigPipeline {
       case b: java.lang.Boolean => Some(b.toString)
       case _ => None
     }
-    def resolve(raw: String): String = {
-      val interpolated = "\\$\\{(\\w+)\\}".r.replaceAllIn(raw, m =>
-        java.util.regex.Matcher.quoteReplacement(
-          vars.getOrElse(m.group(1),
-            throw new IllegalArgumentException(s"unresolved config var $${${m.group(1)}}"))))
-      // containment, not equality: a `???` arriving THROUGH ${var}
-      // interpolation into a longer string ("${input_path}/shard" with
-      // input_path: ???) must fail just as loudly as a bare marker
-      require(!interpolated.contains("???"),
-        s"config value '$raw' resolves to '$interpolated' — an unresolved required " +
-          "override (???); pass it in `overrides`")
-      interpolated
-    }
+    def resolve(raw: String): String = YamlVars.resolve(raw, vars)
   }
 
   private def load(yamlPath: String, overrides: Map[String, String]): Cfg = {

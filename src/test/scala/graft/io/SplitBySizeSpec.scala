@@ -22,5 +22,14 @@ class SplitBySizeSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$dir/out")
     assert(back.count() == 20000)
     assert(back.agg(sum(col("id"))).head.getLong(0) == 20000L * 19999 / 2)
+
+    // in-place rewrite is refused — Overwrite would delete the source
+    // before the lazy scan runs
+    intercept[IllegalArgumentException] {
+      SplitBySize.rewrite(spark, s"$dir/in", s"$dir/in", 1)
+    }
+    intercept[IllegalArgumentException] {
+      SplitBySize.rewrite(spark, s"$dir/in", s"$dir/in/nested", 1)
+    }
   }
 }

