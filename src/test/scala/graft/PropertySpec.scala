@@ -253,6 +253,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: PyFloat.repr round-trips every finite double exactly") {
+    val doubles = Gen.oneOf(
+      Gen.choose(-1e3, 1e3),
+      Gen.choose(-1e-3, 1e-3).suchThat(_ != 0.0),
+      Gen.choose(Long.MinValue, Long.MaxValue).map(java.lang.Double.longBitsToDouble)
+        .suchThat(d => !d.isNaN && !d.isInfinite && math.abs(d) > java.lang.Double.MIN_NORMAL))
+    forAll(doubles) { d =>
+      val r = graft.text.PyFloat.repr(d)
+      // shortest-or-not, the repr MUST parse back to the same bits
+      assert(java.lang.Double.parseDouble(r) == d, s"repr($d) = '$r' does not round-trip")
+      // and obey CPython's formatting envelope
+      assert(!r.contains("E"), r) // lowercase e only
+      if (r.contains("e")) assert(r.matches("-?\\d(\\.\\d+)?e[+-]\\d{2,}"), r)
+      else assert(r.contains("."), r)
+    }
+  }
+
+  test("property: sampleClosest indices are in-bounds, sorted, counts sum to samples") {
+    val ts = for {
+      n <- Gen.choose(1, 40)
+      fps <- Gen.choose(1, 60)
+    } yield Array.tabulate(n)(i => (i.toDouble / fps).toFloat)
+    val rate = Gen.choose(1, 30).map(_.toDouble)
+    forAll(ts, rate) { (src, fps) =>
+      val (idx, counts, samples) = graft.video.FrameExtraction.sampleClosest(src, fps)
+      assert(idx.forall(i => i >= 0 && i < src.length))
+      assert(idx.sameElements(idx.sorted) && idx.distinct.length == idx.length)
+      assert(counts.sum == samples.length)
+      assert(counts.forall(_ > 0))
+    }
+  }
+
   test("property: cascade verdict is deterministic and scores stop at first reject") {
     forAll(text) { t =>
       val v1 = graft.filters.Cascade.evaluate(HF.englishCascade, t)
