@@ -178,10 +178,12 @@ class ClipWriterSpec extends AnyFunSuite {
     assert(math.abs(sa.getAs[Double]("total_clip_duration") - 6.0) < 1e-9)
     assert(math.abs(sa.getAs[Double]("max_clip_duration") - 3.5) < 1e-9)
 
-    // second run into a fresh dir: identical relative layout and
+    // second run into a fresh dir — with DIFFERENT input partitioning
+    // (the writer's repartition-by-chunk makes layout independent of
+    // the upstream partition count): identical relative layout and
     // identical json/mp4 bytes (modulo the embedded absolute root)
     val out2 = java.nio.file.Files.createTempDirectory("clipw2").toString
-    ClipWriter.write(clipsDf(), out2, "/in")
+    ClipWriter.write(clipsDf().repartition(7), out2, "/in")
     def listing(root: String) = {
       val base = java.nio.file.Paths.get(root)
       val s = java.nio.file.Files.walk(base)
