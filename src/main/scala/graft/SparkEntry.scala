@@ -137,16 +137,41 @@ object SparkEntry {
   // non-planted docs use a STRUCTURALLY distinct template ('k…w' words)
   // plus a per-doc-unique replacement: token n-grams never overlap the
   // planted groups (exact J = 0) AND the hashed char-ngram embedding
-  // stays far from them (max cosine 0.68 vs the 0.95 near-dup gate —
-  // with the shared template, 'taau1250' vs 'taa1250' differed by one
-  // char per word and crossed 0.95)
+  // stays far from them. The salt is the doc_id's md5 HEX, not the
+  // decimal id: decimal salts share an ever-growing digit prefix as ids
+  // get longer ('u49998' vs 'u49999' share most char n-grams), and at a
+  // 50k-row sweep neighboring else-docs crossed the 0.95 cosine gate —
+  // hex salts of adjacent ids share nothing, so the margin is
+  // id-length-INDEPENDENT (md5(varchar) hashes the UTF-8 decimal string
+  // identically in Spark and DuckDB).
   private val ndTemplateElse =
     (0 until 96).map(i => s"k${('a' + i / 26).toChar}${('a' + i % 26).toChar}w#").mkString(" ")
   private val nearDupIn =
     s"""CASE WHEN doc_id % 10 = 2 THEN replace('$ndTemplate', '#', cast(doc_id - 2 as string))
              WHEN doc_id % 10 = 3 THEN replace('$ndTemplate', '#', cast(doc_id - 3 as string)) || ' xtail'
              WHEN doc_id % 10 = 7 THEN replace('$ndTemplate', '#', cast(doc_id - 7 as string))
-             ELSE replace('$ndTemplateElse', '#', 'u' || cast(doc_id as string)) END"""
+             ELSE replace('$ndTemplateElse', '#', 'u' || md5(cast(doc_id as string))) END"""
+  // char-NGRAM-embedding variant of nearDupIn for the embedding-space
+  // near-dup entry: decimal salts are suffix-correlated ('1032' is a
+  // substring of '41032'), which leaves token-Jaccard at 0 but pushes
+  // hashed CHAR-ngram cosine over the 0.95 gate once ids grow past the
+  // tested range (found by a 50k-row replication sweep). 16-hex md5
+  // salts on EVERY branch make shingle overlap id-length-independent;
+  // planted groups still share their group salt, so the token-Jaccard
+  // oracle structure is unchanged.
+  private val embNearDupIn = {
+    def salt(d: String) = s"substring(md5(cast($d as string)), 1, 16)"
+    // the else salt derives from 'e'||id, NOT the bare id: doc g+0's
+    // bare-id hash would EQUAL its decade's planted-group salt
+    // (md5(g) = md5((g+2)-2)), and with 16-hex salts dominating the
+    // word content that shared salt pushed else-vs-planted cosine over
+    // the gate in ~0.1% of decades
+    def eSalt(d: String) = s"substring(md5('e' || cast($d as string)), 1, 16)"
+    s"""CASE WHEN doc_id % 10 = 2 THEN replace('$ndTemplate', '#', ${salt("doc_id - 2")})
+             WHEN doc_id % 10 = 3 THEN replace('$ndTemplate', '#', ${salt("doc_id - 3")}) || ' xtail'
+             WHEN doc_id % 10 = 7 THEN replace('$ndTemplate', '#', ${salt("doc_id - 7")})
+             ELSE replace('$ndTemplateElse', '#', 'u' || ${eSalt("doc_id")}) END"""
+  }
   // simhash pair input: the near member is a BLOCK SWAP of its base —
   // 'zs A zs B zs' and 'zs B zs A zs' have identical word-unigram AND
   // word-bigram multisets, so their 64-bit simhash (built from exactly
@@ -652,7 +677,7 @@ object SparkEntry {
     // token-Jaccard disagree near their thresholds — CheckPairs)
     "emb_text_neardup" -> ((s, dir) => {
       val emb = graft.sim.HashEmbedder.withEmbedding(
-          spread(tbl(s, dir, "documents").withColumn("text", expr(nearDupIn))))
+          spread(tbl(s, dir, "documents").withColumn("text", expr(embNearDupIn))))
         .select("doc_id", "embedding")
       // probes=2: a cosine-0.9999 pair can still straddle a KMeans cell
       // boundary under single-probe blocking (observed once at sf0.1);
@@ -1954,7 +1979,7 @@ object SparkEntry {
       // pair SET of the constructed corpus (planted pairs at cosine
       // ~1 vs <=0.85 for everything else; see the entry comment)
       "emb_text_neardup" ->
-        s"SELECT src, dst FROM (${dedupJaccardOracle(nearDupIn)})",
+        s"SELECT src, dst FROM (${dedupJaccardOracle(embNearDupIn)})",
 
       // exact ground truth for the fuzzy-dedup removal set: in the exact
       // J >= 0.5 pair graph every dup group is a clique (planted dups are
