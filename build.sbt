@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the FINAL stdout line of
+// `sbt "runMain graft.Bench"` as JSON. Two sbt behaviors used to break
+// that: the logger prefixes forked-process stdout with "[info] ", and
+// sbt prints "[success] Total time: …" AFTER the program's last line.
+// Route forked output straight through and drop the success banner so
+// the bench's bare-JSON summary line really is the last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

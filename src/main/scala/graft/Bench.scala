@@ -124,7 +124,9 @@ object Bench {
     // BENCH_r{2,3,4}.json carries "parsed": null because of it; the
     // last printed line must be complete valid JSON inside the tail
     println(json(results.toSeq))
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
+    // per-run file (sf + pid suffix) so concurrent benches never clobber
+    val fullPath = s"/tmp/graft_bench_full_${new java.io.File(sfDir).getName}_${ProcessHandle.current.pid}.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       json(results.toSeq).getBytes("UTF-8"))
     val headline = results.toSeq.filter { case (k, _) =>
       k.endsWith("_per_s") || k.endsWith("_sec") }
