@@ -1,9 +1,12 @@
 package graft.multimodal
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.io.ByteSink
 
 /** WebDataset shard WRITER — the ImageWriterStage contract
   * (stages/image/io/image_writer.py:33-210): pack images into tar
@@ -20,6 +23,15 @@ import org.apache.spark.sql.functions._
   * extension. Spark shape: one task per partition writes its shards
   * and sidecars directly (the MegatronWriter pattern — no driver
   * byte collection), and the sidecars read back as one DataFrame.
+  *
+  * All byte output is routed through the Hadoop FileSystem resolved
+  * from the destination scheme ([[graft.io.ByteSink]]) so `s3a://` /
+  * `hdfs://` output roots work like local ones — the posture of the
+  * reference's fsspec storage client. Temp shard names embed the task
+  * ATTEMPT id: with speculation or a zombie original attempt after a
+  * retry, each attempt streams into its own temp tar and the final
+  * rename is last-writer-wins on identical deterministic content,
+  * never an interleaving of two open streams.
   */
 object ImageWriter {
 
@@ -37,10 +49,10 @@ object ImageWriter {
   def writeShard(outputDir: String, baseName: String,
                  members: Seq[(String, Array[Byte])],
                  meta: Seq[(String, String, String, String)]): (String, String) = {
-    Files.createDirectories(Paths.get(outputDir))
+    val conf = new Configuration()
     val tarPath = s"$outputDir/$baseName.tar"
     val tos = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
-      new java.io.BufferedOutputStream(Files.newOutputStream(Paths.get(tarPath))))
+      new java.io.BufferedOutputStream(ByteSink.create(tarPath, conf)))
     // member names over 100 bytes (path-derived ids) need PAX headers —
     // the default mode throws; Python tarfile (the reference) defaults
     // to PAX-capable GNU/POSIX formats
@@ -55,13 +67,14 @@ object ImageWriter {
     } finally tos.close()
 
     val pqPath = s"$outputDir/$baseName.parquet"
-    writeSidecar(pqPath, tarPath, meta)
+    writeSidecar(pqPath, tarPath, meta, conf)
     (tarPath, pqPath)
   }
 
   /** One parquet sidecar at `pqPath` for the shard at `tarPath`. */
   private def writeSidecar(pqPath: String, tarPath: String,
-                           meta: Seq[(String, String, String, String)]): Unit = {
+                           meta: Seq[(String, String, String, String)],
+                           jobConf: Configuration): Unit = {
     val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
       """message meta {
            required binary image_id (UTF8);
@@ -70,7 +83,13 @@ object ImageWriter {
            optional binary original_path (UTF8);
            optional binary metadata (UTF8);
          }""")
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // copy: GroupWriteSupport.setSchema mutates the conf it is given.
+    // Local (file:/no-scheme) destinations resolve to the RAW local fs —
+    // no .crc checksum twins next to the sidecars (ByteSink's posture);
+    // cache disabled so the raw impl override actually takes effect.
+    val conf = new Configuration(jobConf)
+    conf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    conf.setBoolean("fs.file.impl.disable.cache", true)
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
@@ -107,9 +126,10 @@ object ImageWriter {
     val hasMeta = metaCol.isDefined
     val out = outputDir
     val perTar = imagesPerTar
+    val sconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     // an all-filtered input must yield an EMPTY metadata frame, not a
     // path error (the reference logs and writes empty metadata)
-    Files.createDirectories(Paths.get(outputDir))
+    ByteSink.mkdirs(outputDir, spark.sparkContext.hadoopConfiguration)
     // Streaming shard write: each payload is written to its chunk's tar
     // as it arrives (one payload in executor memory at a time); only the
     // hash-input strings and sidecar metadata rows — small strings —
@@ -117,8 +137,12 @@ object ImageWriter {
     // partition's original PATHS when pathCol is given (ids as the
     // fallback), seeded by the partition id — the Spark analogue of the
     // reference's `image_path`s + task_id (image_writer.py:61-70); tars
-    // stream to a temp name and are renamed once the prefix is known.
+    // stream to an attempt-scoped temp name and are renamed once the
+    // prefix is known.
     val pqPaths = df.select(cols: _*).rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val conf = sconf.value
+      val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+      def tmpTar(ci: Int) = f"$out/.part-$pid-$attempt-$ci%06d.tmp.tar"
       val hashInputs = scala.collection.mutable.ArrayBuffer.empty[String]
       val chunkMeta = scala.collection.mutable.ArrayBuffer
         .empty[scala.collection.mutable.ArrayBuffer[(String, String, String, String)]]
@@ -132,8 +156,7 @@ object ImageWriter {
         hashInputs += (if (orig != null) orig else id)
         if (inChunk == 0) {
           tos = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
-            new java.io.BufferedOutputStream(Files.newOutputStream(
-              Paths.get(f"$out/.part-$pid-${chunkMeta.size}%06d.tmp.tar"))))
+            new java.io.BufferedOutputStream(ByteSink.create(tmpTar(chunkMeta.size), conf)))
           tos.setLongFileMode(
             org.apache.commons.compress.archivers.tar.TarArchiveOutputStream.LONGFILE_POSIX)
           chunkMeta += scala.collection.mutable.ArrayBuffer.empty
@@ -150,10 +173,9 @@ object ImageWriter {
       chunkMeta.zipWithIndex.map { case (meta, ci) =>
         val base = f"$prefix-$ci%06d"
         val tarPath = s"$out/$base.tar"
-        Files.move(Paths.get(f"$out/.part-$pid-$ci%06d.tmp.tar"), Paths.get(tarPath),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ByteSink.rename(tmpTar(ci), tarPath, conf)
         val pqPath = s"$out/$base.parquet"
-        writeSidecar(pqPath, tarPath, meta.toSeq)
+        writeSidecar(pqPath, tarPath, meta.toSeq, conf)
         pqPath
       }.iterator
     }.collect()
@@ -168,9 +190,9 @@ object ImageWriter {
     * shard was written).
     */
   def readMetadata(spark: SparkSession, dir: String): DataFrame = {
-    val hasSidecars = Option(new java.io.File(dir).listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (hasSidecars) spark.read.parquet(s"$dir/*.parquet")
+    val sidecars =
+      ByteSink.list(dir, "*.parquet", spark.sparkContext.hadoopConfiguration)
+    if (sidecars.nonEmpty) spark.read.parquet(s"$dir/*.parquet")
     else emptyMetadata(spark)
   }
 

@@ -233,6 +233,15 @@ object TorchCheckpoint {
   *  - `gptc <ckpt.pt> <spec.json> <out.bin>` — spec:
   *    `{"taskTypes":[...], "taskMatrix":"name", "heads":[{"name":...,
   *    "matrix":"name", "weights":[...], "divisor":N}]}` → GPTC.
+  *  - `ftbin <ckpt.pt> <dict.tsv> <out.bin> <inputName> <outputName>
+  *    [k=v ...]` — a supervised fastText checkpoint held as torch
+  *    tensors (input matrix `[nwords+bucket, D]`, output matrix
+  *    `[nlabels, D]`) + the dictionary dump (`word\tcount\ttype` per
+  *    line, type 0 = word / 1 = label, dictionary order) → a fastText
+  *    `.bin` the runtime loaders ([[graft.langid.FastTextBin]], i.e.
+  *    the reference's fasttext.load_model seam,
+  *    filters/fasttext_filter.py:69-77) read directly. Optional k=v:
+  *    `minn maxn wordNgrams bucket` (default 0/0/1/inferred).
   */
 object ExportArtifacts {
   def main(args: Array[String]): Unit = args.toList match {
@@ -270,9 +279,43 @@ object ExportArtifacts {
       }.toSeq
       graft.classify.PromptTaskComplexity.write(out, taskM.cols, taskTypes, taskM.matrix, heads)
       println(s"wrote GPTC $out: ${taskTypes.size} task types, ${heads.size} heads")
+    case "ftbin" :: ckpt :: dictPath :: out :: inName :: outName :: opts =>
+      val kv = opts.map { o =>
+        val Array(k, v) = o.split("=", 2); k -> v.toInt
+      }.toMap
+      val t = TorchCheckpoint.load(ckpt)
+      val inM = t(inName); val outM = t(outName)
+      require(inM.cols == outM.cols,
+        s"dim mismatch: input ${inM.cols} vs output ${outM.cols}")
+      import scala.jdk.CollectionConverters._
+      val vocab = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(dictPath))
+        .asScala.filter(_.nonEmpty).map { line =>
+          val parts = line.split("\t")
+          require(parts.length == 3, s"dict line needs word\\tcount\\ttype: $line")
+          graft.langid.FastTextBin.Entry(parts(0), parts(1).toLong, parts(2).toByte)
+        }.toArray
+      val nwords = vocab.count(_.entryType == 0)
+      val nlabels = vocab.count(_.entryType == 1)
+      require(outM.rows == nlabels,
+        s"output matrix rows ${outM.rows} != $nlabels labels (flat softmax only)")
+      val bucket = kv.getOrElse("bucket", inM.rows - nwords)
+      require(inM.rows == nwords + bucket,
+        s"input matrix rows ${inM.rows} != $nwords words + $bucket bucket")
+      // loss=3 (softmax) / model=3 (supervised) — the only combination
+      // the runtime reader accepts; the remaining args are training-time
+      // hyperparameters inference never reads
+      val args0 = graft.langid.FastTextBin.Args(
+        dim = inM.cols, ws = 5, epoch = 5, minCount = 1, neg = 5,
+        wordNgrams = kv.getOrElse("wordNgrams", 1), loss = 3, model = 3,
+        bucket = bucket, minn = kv.getOrElse("minn", 0),
+        maxn = kv.getOrElse("maxn", 0), lrUpdateRate = 100, t = 1e-4)
+      graft.langid.FastTextBin.write(out, args0, vocab, inM.matrix, outM.matrix)
+      println(s"wrote fastText bin $out: $nwords words, $nlabels labels, " +
+        s"bucket=$bucket, dim=${inM.cols}")
     case _ =>
       System.err.println("usage: glin <ckpt> <out> <weight> <bias> [sigmoid] | " +
-        "gemb <ckpt> <vocab.txt> <out> <weight> | gptc <ckpt> <spec.json> <out>")
+        "gemb <ckpt> <vocab.txt> <out> <weight> | gptc <ckpt> <spec.json> <out> | " +
+        "ftbin <ckpt> <dict.tsv> <out> <input> <output> [minn=|maxn=|wordNgrams=|bucket=]")
       sys.exit(2)
   }
 }

@@ -1,9 +1,11 @@
 package graft.video
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.io.ByteSink
 
 /** Accumulated per-chunk clip statistics — ClipStats
   * (tasks/video.py:165-199) with the reference's combine semantics.
@@ -227,6 +229,7 @@ object ClipWriter {
             enhancedCaptionModels: Seq[String] = Seq("qwen_lm")): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val sconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val statRows = df
       .repartition(col("source_video"), col("clip_chunk_index"))
       .sortWithinPartitions("source_video", "clip_chunk_index", "clip_uuid")
@@ -246,7 +249,7 @@ object ClipWriter {
         }
         grouped.map { chunkRows =>
           writeChunk(chunkRows, outputRoot, inputRoot, uploadClips, dryRun,
-            embeddingAlgorithm, captionModels, enhancedCaptionModels)
+            embeddingAlgorithm, captionModels, enhancedCaptionModels, sconf.value)
         }
       }.collect()
     statRows.toSeq.toDF(
@@ -255,19 +258,13 @@ object ClipWriter {
       "total_clip_duration", "max_clip_duration")
   }
 
-  private def optStr(r: Row, c: String): String =
-    if (!r.schema.fieldNames.contains(c) || r.isNullAt(r.fieldIndex(c))) null
-    else r.getAs[String](c)
-  private def getOptD(r: Row, c: String): Option[Double] =
-    if (!r.schema.fieldNames.contains(c) || r.isNullAt(r.fieldIndex(c))) None
-    else Some(r.getAs[Double](c))
-  private def getOptI(r: Row, c: String): Option[Int] =
-    if (!r.schema.fieldNames.contains(c) || r.isNullAt(r.fieldIndex(c))) None
-    else Some(r.getAs[Int](c))
-
   private def optCol[T](r: Row, c: String): Option[T] =
     if (!r.schema.fieldNames.contains(c) || r.isNullAt(r.fieldIndex(c))) None
     else Some(r.getAs[T](c))
+
+  private def optStr(r: Row, c: String): String = optCol[String](r, c).orNull
+  private def getOptD(r: Row, c: String): Option[Double] = optCol[Double](r, c)
+  private def getOptI(r: Row, c: String): Option[Int] = optCol[Int](r, c)
 
   private def rowToClip(r: Row): ClipRow = ClipRow(
     r.getAs[String]("clip_uuid"), r.getAs[String]("source_video"),
@@ -286,14 +283,18 @@ object ClipWriter {
         optCol[Map[String, String]](w, "enhanced_captions").getOrElse(Map.empty))
     })
 
-  private def writeBytes(dest: String, bytes: Array[Byte]): Unit = {
-    Files.createDirectories(Paths.get(dest).getParent)
-    Files.write(Paths.get(dest), bytes)
-  }
+  /** Payload bytes go through the Hadoop FileSystem resolved from the
+    * destination scheme (ByteSink) — `s3a://`/`hdfs://` output roots
+    * work exactly like the parquet sidecars' HadoopOutputFile path; the
+    * reference routes the same writes through fsspec's storage client.
+    */
+  private def writeBytes(dest: String, bytes: Array[Byte], conf: Configuration): Unit =
+    ByteSink.write(dest, bytes, conf)
 
   private def writeChunk(chunkRows: Seq[Row], outputRoot: String, inputRoot: String,
                          uploadClips: Boolean, dryRun: Boolean, embeddingAlgorithm: String,
-                         captionModels: Seq[String], enhancedCaptionModels: Seq[String]):
+                         captionModels: Seq[String], enhancedCaptionModels: Seq[String],
+                         conf: Configuration):
       (String, Int, Long, Long, Long, Long, Long, Double, Double) = {
     val head = chunkRows.head
     val video = head.getAs[String]("source_video")
@@ -311,7 +312,7 @@ object ClipWriter {
       if (clip.buffer != null && clip.buffer.nonEmpty) {
         if (uploadClips && !dryRun)
           writeBytes(clipUri(pathClips(outputRoot, clip.filtered), clip.clipUuid, "mp4"),
-            clip.buffer)
+            clip.buffer, conf)
         s = s.copy(numTranscoded = 1)
       }
       if (!clip.filtered) s = s.copy(numPassed = 1)
@@ -321,7 +322,7 @@ object ClipWriter {
         if (!dryRun) clip.windows.foreach { w =>
           if (w.webp != null && w.webp.nonEmpty)
             writeBytes(windowUri(pathPreviews(outputRoot), clip.clipUuid,
-              w.startFrame, w.endFrame, "webp"), w.webp)
+              w.startFrame, w.endFrame, "webp"), w.webp, conf)
         }
         if (hasWebp) s = s.copy(numWithWebp = 1)
         if (clip.embedding != null) {
@@ -332,14 +333,14 @@ object ClipWriter {
             val embDir = if (embeddingAlgorithm == "internvideo2") pathIv2Embd(outputRoot)
               else pathCe1Embd(outputRoot)
             writeBytes(clipUri(embDir, clip.clipUuid, "pickle"),
-              graft.tools.NumpyPickle.float32(Seq(clip.embedding.length), clip.embedding))
+              graft.tools.NumpyPickle.float32(Seq(clip.embedding.length), clip.embedding), conf)
           }
         }
       }
       val meta = clipMetadata(clip, vw, vh, vfr, outputRoot, captionModels, enhancedCaptionModels)
       if (!dryRun)
         writeBytes(clipUri(pathMetas(outputRoot, "v0"), clip.clipUuid, "json"),
-          pyJson(meta).getBytes("UTF-8"))
+          pyJson(meta).getBytes("UTF-8"), conf)
       // metadata (and its caption count) runs for filtered clips too
       // (clip_writer.py:162-171 submits _write_clip_metadata for both)
       val hasCaption = clip.windows.exists(w => captionModels.exists(w.captions.contains))
@@ -362,8 +363,7 @@ object ClipWriter {
     val withEmb = keptClips.filter(_.embedding != null)
     if (withEmb.nonEmpty && !dryRun) {
       val dest = embeddingParquetUri(outputRoot, video, chunkIdx, embeddingAlgorithm)
-      Files.createDirectories(Paths.get(dest).getParent)
-      writeEmbeddingParquet(dest, withEmb.map(c => (c.clipUuid, c.embedding)))
+      writeEmbeddingParquet(dest, withEmb.map(c => (c.clipUuid, c.embedding)), conf)
     }
 
     // chunk stats json + (chunk 0) the video-level json — written even
@@ -382,7 +382,7 @@ object ClipWriter {
           "audio_format" -> optStr(head, "audio_codec"),
           "num_total_clips" -> getOptI(head, "num_total_clips").getOrElse(clips.size),
           "num_clip_chunks" -> getOptI(head, "num_clip_chunks").getOrElse(1))
-        writeBytes(videoUri(outputRoot, inputRoot, video), pyJson(vmeta).getBytes("UTF-8"))
+        writeBytes(videoUri(outputRoot, inputRoot, video), pyJson(vmeta).getBytes("UTF-8"), conf)
       }
       def windowKey(w: WindowRow) = s"${w.startFrame}_${w.endFrame}"
       val allWindows = keptClips.map { c =>
@@ -416,7 +416,7 @@ object ClipWriter {
         "all_windows_enhanced_caption" ->
           (if (allEnhanced.isEmpty) EmptyObj: Any else allEnhanced: Any))
       writeBytes(clipChunkUri(outputRoot, inputRoot, video, chunkIdx),
-        pyJson(chunkMeta).getBytes("UTF-8"))
+        pyJson(chunkMeta).getBytes("UTF-8"), conf)
     }
     (video, chunkIdx, stats.numPassed, stats.numTranscoded, stats.numWithEmbeddings,
       stats.numWithCaption, stats.numWithWebp, stats.totalClipDuration, stats.maxClipDuration)
@@ -425,13 +425,20 @@ object ClipWriter {
   /** id (UTF8) + repeated float embedding per row — Spark reads it back
     * as array<float> (the pandas list column of write_parquet).
     */
-  private def writeEmbeddingParquet(path: String, rows: Seq[(String, Array[Float])]): Unit = {
+  private def writeEmbeddingParquet(path: String, rows: Seq[(String, Array[Float])],
+                                    jobConf: Configuration): Unit = {
     val schema = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
       """message embedding {
            required binary id (UTF8);
            repeated float embedding;
          }""")
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // copy: GroupWriteSupport.setSchema mutates the conf it is given.
+    // Local (file:/no-scheme) destinations resolve to the RAW local fs —
+    // no .crc checksum twins next to the sidecars (ByteSink's posture);
+    // cache disabled so the raw impl override actually takes effect.
+    val conf = new Configuration(jobConf)
+    conf.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    conf.setBoolean("fs.file.impl.disable.cache", true)
     org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, conf)
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(

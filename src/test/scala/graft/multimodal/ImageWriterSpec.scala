@@ -86,6 +86,28 @@ class ImageWriterSpec extends AnyFunSuite {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".tmp.tar")))
   }
 
+  test("file://-scheme output root routes through the Hadoop FileSystem path") {
+    val local = java.nio.file.Files.createTempDirectory("imgw_fs").toString
+    val dir = s"file://$local"
+    val df = spark.range(0, 6)
+      .select(format_string("img%03d", col("id")).as("image_id"),
+        concat(lit("payload-"), col("id").cast("string")).cast("binary").as("jpg"))
+      .repartition(1).sortWithinPartitions("image_id")
+    val meta = ImageWriter.write(df, dir, imagesPerTar = 4)
+    assert(meta.count() == 6)
+    // payloads landed at the local path behind the scheme, atomically
+    // renamed (no temp tars, no .crc checksum sidecars from LocalFileSystem)
+    val names = new java.io.File(local).listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".tar")) == 2)
+    assert(!names.exists(_.endsWith(".tmp.tar")) && !names.exists(_.endsWith(".crc")))
+    // identical input at an unschemed root produces the same shard names
+    val plain = java.nio.file.Files.createTempDirectory("imgw_fs2").toString
+    ImageWriter.write(df, plain, imagesPerTar = 4)
+    assert(new java.io.File(plain).listFiles().map(_.getName).filter(_.endsWith(".tar")).sorted
+      .sameElements(names.filter(_.endsWith(".tar")).sorted))
+    assert(ImageWriter.readMetadata(spark, dir).count() == 6)
+  }
+
   test("optional columns absent: minimal (id, payload) input still writes valid sidecars") {
     val dir = java.nio.file.Files.createTempDirectory("imgw3").toString
     val df = Seq(("a", "x".getBytes), ("b", "y".getBytes)).toDF("image_id", "jpg")

@@ -209,4 +209,55 @@ print("ok")
     assert(m.dim == 2 && m.heads.map(_.name) == Seq("creativity_scope"))
     assert(m.heads.head.matrix(0).toSeq == Seq(0.5f, 0f))
   }
+
+  test("ftbin export round-trips through the runtime FastTextBin loader") {
+    import graft.langid.FastTextBin
+    val dir = java.nio.file.Files.createTempDirectory("torch_ftbin").toString
+    val ckpt = s"$dir/ft.pt"
+    // supervised checkpoint: 4 words + 8 subword/ngram buckets, 2 labels
+    val rnd = new scala.util.Random(7)
+    val dim = 3; val nwords = 4; val bucket = 8; val nlabels = 2
+    val inData = Array.fill((nwords + bucket) * dim)(rnd.nextFloat() - 0.5f)
+    val outData = Array.fill(nlabels * dim)(rnd.nextFloat() - 0.5f)
+    writeCheckpoint(ckpt, Seq(
+      ("input.weight", Seq(nwords + bucket, dim), inData),
+      ("output.weight", Seq(nlabels, dim), outData)))
+    // dictionary dump: words (type 0) then labels (type 1), EOS included
+    val vocab = Array(
+      FastTextBin.Entry("hello", 10, 0), FastTextBin.Entry("world", 8, 0),
+      FastTextBin.Entry("spark", 5, 0), FastTextBin.Entry(FastTextBin.EOS, 23, 0),
+      FastTextBin.Entry("__label__pos", 12, 1), FastTextBin.Entry("__label__neg", 11, 1))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/dict.tsv"),
+      vocab.map(e => s"${e.word}\t${e.count}\t${e.entryType}").mkString("\n").getBytes("UTF-8"))
+
+    ExportArtifacts.main(Array("ftbin", ckpt, s"$dir/dict.tsv", s"$dir/ft.bin",
+      "input.weight", "output.weight", "minn=2", "maxn=3", "wordNgrams=2"))
+
+    val loaded = FastTextBin.read(s"$dir/ft.bin")
+    assert(loaded.args.dim == dim && loaded.args.bucket == bucket)
+    assert(loaded.args.minn == 2 && loaded.args.maxn == 3 && loaded.args.wordNgrams == 2)
+    assert(loaded.labels.toSeq == Seq("__label__pos", "__label__neg"))
+    // scores identical to a directly-constructed model over the same
+    // matrices — the exporter changed representation, not semantics
+    def toMatrix(d: Array[Float], cols: Int) = d.grouped(cols).map(_.toArray).toArray
+    val direct = new FastTextBin.Model(loaded.args, vocab,
+      toMatrix(inData, dim), toMatrix(outData, dim))
+    for (text <- Seq("hello world", "spark zzz unknown", "world world hello spark", "")) {
+      val a = loaded.predictAll(text); val b = direct.predictAll(text)
+      assert(a.map(_._1) == b.map(_._1))
+      a.zip(b).foreach { case ((_, pa), (_, pb)) => assert(math.abs(pa - pb) < 1e-12) }
+    }
+    // subword + word-ngram paths genuinely engage on this fixture
+    assert(loaded.lineIds("spark zzz").exists(_ >= nwords), "bucket rows unused")
+
+    // validation: output rows must equal the label count
+    val badCkpt = s"$dir/bad.pt"
+    writeCheckpoint(badCkpt, Seq(
+      ("input.weight", Seq(nwords + bucket, dim), inData),
+      ("output.weight", Seq(3, dim), Array.fill(3 * dim)(0f))))
+    intercept[IllegalArgumentException] {
+      ExportArtifacts.main(Array("ftbin", badCkpt, s"$dir/dict.tsv", s"$dir/bad.bin",
+        "input.weight", "output.weight"))
+    }
+  }
 }

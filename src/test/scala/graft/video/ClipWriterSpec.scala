@@ -201,6 +201,33 @@ class ClipWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("file://-scheme output root writes the same layout through the Hadoop FS path") {
+    val local = java.nio.file.Files.createTempDirectory("clipw_fs").toString
+    val out = s"file://$local"
+    ClipWriter.write(clipsDf(), out, "/in")
+    // payloads + jsons + embedding parquet all landed behind the scheme,
+    // with no LocalFileSystem .crc sidecars polluting the layout
+    for (rel <- Seq("clips/clip-a0.mp4", "filtered_clips/clip-a2.mp4",
+        "previews/clip-a0/0_64.webp", "metas/v0/clip-b0.json",
+        "processed_clip_chunks/a.mp4_0.json", "processed_videos/a.mp4.json",
+        "ce1_embd/clip-a0.pickle"))
+      assert(new java.io.File(s"$local/$rel").exists(), s"missing $rel")
+    val crcs = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(local))
+      try s.filter(p => p.toString.endsWith(".crc")).count() finally s.close()
+    }
+    assert(crcs == 0)
+    val emb = spark.read.parquet(ClipWriter.embeddingParquetUri(out, "/in/a.mp4", 0))
+    assert(emb.count() == 1)
+    // json bytes identical to an unschemed-root run modulo the embedded root
+    val plain = java.nio.file.Files.createTempDirectory("clipw_fs2").toString
+    ClipWriter.write(clipsDf(), plain, "/in")
+    def read(p: String, root: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8").replace(root, "OUT")
+    assert(read(s"$local/metas/v0/clip-a0.json", out) ==
+      read(s"$plain/metas/v0/clip-a0.json", plain))
+  }
+
   test("embedding pickles unpickle into real numpy arrays (env-gated on python3+numpy)") {
     val python = Seq("python3", "/usr/bin/python3", "/usr/local/bin/python3").find { p =>
       try new ProcessBuilder(p, "-c", "import numpy").start().waitFor() == 0
