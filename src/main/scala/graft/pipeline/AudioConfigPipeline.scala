@@ -51,18 +51,34 @@ object AudioConfigPipeline {
     }
     // processors_to_run: "all" or a "start:stop" slice (partial reruns
     // over an existing manifest); anything else must not run silently
-    val processors = vars.getOrElse("processors_to_run", "all") match {
-      case "all" => all
+    val (processors, startIdx) = vars.getOrElse("processors_to_run", "all") match {
+      case "all" => (all, 0)
       case s if s.matches("-?\\d*:-?\\d*") =>
         val parts = s.split(":", -1)
         def idx(p: String, default: Int) =
           if (p.isEmpty) default else if (p.toInt < 0) all.size + p.toInt else p.toInt
-        all.slice(idx(parts(0), 0), idx(parts(1), all.size))
+        val start = idx(parts(0), 0)
+        (all.slice(start, idx(parts(1), all.size)), start)
       case other =>
         throw new IllegalArgumentException(s"unsupported processors_to_run: $other")
     }
+    if (processors.isEmpty)
+      throw new IllegalArgumentException(
+        s"processors_to_run=${vars.getOrElse("processors_to_run", "all")} selects no processors")
+    // A slice starting past 0 resumes from the PREVIOUS stage's manifest
+    // (the reference's processors are file-chained jsonl manifests) —
+    // the first selected processor must name it via input_manifest_file;
+    // running it against nothing would NPE inside the stage
+    val initial: DataFrame =
+      if (startIdx == 0) null
+      else processors.head.get("input_manifest_file").flatMap(scalar).map(resolve) match {
+        case Some(manifest) => graft.io.JsonlIO.readInferred(spark, manifest)
+        case None => throw new IllegalArgumentException(
+          s"processors_to_run starts at $startIdx: the first selected processor " +
+            "needs input_manifest_file (the prior stage's manifest) to resume from")
+      }
 
-    processors.foldLeft(null: DataFrame) { (df, p) =>
+    processors.foldLeft(initial) { (df, p) =>
       def str(k: String, default: => String = null): String =
         p.get(k).flatMap(scalar).map(resolve).getOrElse(default)
       val target = scalar(p("_target_")).get.split('.').last

@@ -121,13 +121,21 @@ object ClipWriter {
       case b: Boolean => if (b) "true" else "false"
       case i: Int => i.toString
       case l: Long => l.toString
-      case d: Double => graft.text.PyFloat.repr(d)
+      case d: Double =>
+        // json.dumps(allow_nan=True, the default) emits the bare tokens
+        // NaN / Infinity / -Infinity, not float repr's nan/inf
+        if (d.isNaN) "NaN"
+        else if (d == Double.PositiveInfinity) "Infinity"
+        else if (d == Double.NegativeInfinity) "-Infinity"
+        else graft.text.PyFloat.repr(d)
       case f: Float => pyJson(f.toDouble, level)
       case s: String =>
         val sb = new StringBuilder("\"")
         s.foreach {
           case '"' => sb.append("\\\"")
           case '\\' => sb.append("\\\\")
+          case '\b' => sb.append("\\b") // json.dumps short escapes, not 
+          case '\f' => sb.append("\\f")
           case '\n' => sb.append("\\n")
           case '\r' => sb.append("\\r")
           case '\t' => sb.append("\\t")

@@ -86,9 +86,23 @@ object FrameExtraction {
     val s0 = start.getOrElse(src(0).toDouble)
     var s1 = stop.getOrElse(src(src.length - 1).toDouble)
     if (endpoint) s1 += interval * 0.5
-    // np.arange(start, stop, step): ceil((stop-start)/step) elements
+    // np.arange(start, stop, step, dtype=float32): ceil((stop-start)/step)
+    // elements (length computed in double), FILLED in float32 exactly as
+    // numpy's FLOAT_fill does — buf[0] = f32(start), buf[1] =
+    // f32(start+step), buf[i>=2] = buf[0] + f32(i) * (buf[1] - buf[0]),
+    // every operation in float32. Grid values 1 ulp off numpy's flip the
+    // left-on-tie closest-index choice on long clips, so the arithmetic
+    // must match bit for bit, not just to double rounding.
     val n = math.max(0, math.ceil((s1 - s0) / interval).toLong).toInt
-    var samples = Array.tabulate(n)(i => (s0 + i * interval).toFloat)
+    var samples = new Array[Float](n)
+    if (n > 0) samples(0) = s0.toFloat
+    if (n > 1) samples(1) = (s0 + interval).toFloat
+    if (n > 2) {
+      val startF = samples(0)
+      val delta = samples(1) - samples(0)
+      var i = 2
+      while (i < n) { samples(i) = startF + i.toFloat * delta; i += 1 }
+    }
     var idx = findClosestIndices(src, samples)
     if (!endpoint && samples.nonEmpty &&
       math.abs(samples(samples.length - 1) - s1) <= 1e-8 + 1e-5 * math.abs(s1)) {

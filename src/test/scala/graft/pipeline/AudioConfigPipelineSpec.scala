@@ -89,6 +89,42 @@ class AudioConfigPipelineSpec extends AnyFunSuite {
       AudioConfigPipeline.run(spark, s"$dir/c2.yaml", Map.empty, _ => Array.empty, _ => "")
     }
 
+    // an empty slice fails loudly instead of returning a null frame
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c3.yaml"),
+      """processors_to_run: "1:1"
+        |processors:
+        |  - _target_: x.AudioToDocumentStage
+        |  - _target_: x.AudioToDocumentStage
+        |""".stripMargin.getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      AudioConfigPipeline.run(spark, s"$dir/c3.yaml", Map.empty, _ => Array.empty, _ => "")
+    }
+
+    // a slice starting past 0 resumes from the named prior manifest —
+    // the reference's file-chained processors; without the name it fails
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/manifest.jsonl"),
+      "{\"id\": \"a\", \"text\": \"hello\"}\n{\"id\": \"b\", \"text\": \"world\"}\n"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c4.yaml"),
+      s"""processors_to_run: "1:"
+         |processors:
+         |  - _target_: x.InferenceAsrNemoStage
+         |  - _target_: x.AudioToDocumentStage
+         |    input_manifest_file: $dir/manifest.jsonl
+         |""".stripMargin.getBytes("UTF-8"))
+    val resumed = AudioConfigPipeline.run(spark, s"$dir/c4.yaml", Map.empty,
+      _ => Array.empty, _ => "")
+    assert(resumed.count() == 2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/c5.yaml"),
+      """processors_to_run: "1:"
+        |processors:
+        |  - _target_: x.InferenceAsrNemoStage
+        |  - _target_: x.AudioToDocumentStage
+        |""".stripMargin.getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      AudioConfigPipeline.run(spark, s"$dir/c5.yaml", Map.empty, _ => Array.empty, _ => "")
+    }
+
     // circular interpolation raises instead of spinning
     intercept[IllegalArgumentException] {
       YamlVars.fixpoint(Map("a" -> "x${b}", "b" -> "y${a}"))

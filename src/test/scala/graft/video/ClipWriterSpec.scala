@@ -75,6 +75,13 @@ class ClipWriterSpec extends AnyFunSuite {
         |    "empty": {}
         |}""".stripMargin.replace("@BS@", "\\")
     assert(ClipWriter.pyJson(data) == expected)
+    // json.dumps uses the SHORT escapes for backspace/formfeed and the
+    // bare NaN/Infinity tokens (allow_nan default) — not \u00XX / inf
+    assert(ClipWriter.pyJson("a\bb\fc") == "\"a\\bb\\fc\"")
+    assert(ClipWriter.pyJson(Double.NaN) == "NaN")
+    assert(ClipWriter.pyJson(Double.PositiveInfinity) == "Infinity")
+    assert(ClipWriter.pyJson(Double.NegativeInfinity) == "-Infinity")
+    assert(ClipWriter.pyJson(Float.NaN) == "NaN")
   }
 
   private def clipsDf() = {

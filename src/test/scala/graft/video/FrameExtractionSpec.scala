@@ -42,6 +42,37 @@ class FrameExtractionSpec extends AnyFunSuite {
     assert(findClosestIndices(Array(0.0f, 1.0f), Array(0.5f)).toSeq == Seq(0))
   }
 
+  test("sample grid is bit-identical to np.arange(dtype=float32) on a long clip (env-gated)") {
+    val python = Seq("python3", "/usr/bin/python3", "/usr/local/bin/python3").find { p =>
+      try new ProcessBuilder(p, "-c", "import numpy").start().waitFor() == 0
+      catch { case _: java.io.IOException => false }
+    }
+    assume(python.isDefined, "no python3 with numpy available")
+    // 100k frames at 30fps sampled at 7.3fps — long enough that a
+    // double-precision grid diverges from numpy's float32 fill by 1 ulp
+    // on thousands of elements (the left-on-tie flip risk)
+    val src = Array.tabulate(100000)(i => (i / 30.0).toFloat)
+    val (_, _, samples) = sampleClosest(src, 7.3)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(4 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putFloat)
+    val scalaHash = md.digest(bb.array()).map("%02x".format(_)).mkString
+    val script =
+      """import numpy as np, hashlib
+        |src = np.array([i / 30.0 for i in range(100000)], dtype=np.float32)
+        |step = 1.0 / 7.3
+        |a = np.arange(float(src[0]), float(src[-1]) + step * 0.5, step, dtype=np.float32)
+        |print(len(a), hashlib.md5(a.tobytes()).hexdigest())
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("np_grid").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/g.py"), script.getBytes("UTF-8"))
+    val proc = new ProcessBuilder(python.get, s"$dir/g.py").redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
+    assume(proc.waitFor() == 0, s"python failed: $out")
+    assert(out == s"${samples.length} $scalaHash", s"grid diverges from numpy: $out")
+  }
+
   test("policy slicing: sequence all frames, middle takes the left-of-pair") {
     assert(frameIndices(uniform(13, 10), Sequence, 2).toSeq == Seq(0, 5, 10))
     assert(frameIndices(uniform(6, 10), Middle, 2).toSeq == Seq(2)) // even: n/2 - 1
