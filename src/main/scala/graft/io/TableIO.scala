@@ -175,4 +175,34 @@ final class CatalogTableIO(catalog: String) extends TableIO with Serializable {
             e.getMessage.contains("v1 table") =>
         df.write.mode(SaveMode.Append).saveAsTable(fqn(table))
     }
+
+  /** Overwrite only the rows matching `condition` with `df`'s rows —
+    * on Iceberg a single overwrite-by-filter snapshot commit (the
+    * incremental-recompute path: replace one day/lang slice, keep the
+    * rest). v1 session-catalog tables lack the v2 overwrite, so the
+    * fallback rewrites remainder ∪ df through the v1 writer — same
+    * rows, not atomic (lineage broken via localCheckpoint so the
+    * table can be replaced under its own read).
+    */
+  def overwriteWhere(df: DataFrame, table: String,
+                     condition: org.apache.spark.sql.Column): Unit =
+    try df.writeTo(fqn(table)).overwrite(condition)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.startsWith("UNSUPPORTED_FEATURE")) ||
+            e.getMessage.contains("v1 table") =>
+        val spark = df.sparkSession
+        val existing = spark.table(fqn(table))
+        val merged = existing.filter(!condition)
+          .unionByName(df.select(existing.columns.map(col): _*))
+          .localCheckpoint(true)
+        merged.write.mode(SaveMode.Overwrite).saveAsTable(fqn(table))
+    }
+
+  /** Add columns to an existing table (Iceberg/v2 schema evolution;
+    * the session catalog supports the same DDL for parquet tables).
+    * Existing rows read the new columns as null.
+    */
+  def addColumns(spark: SparkSession, table: String, columnsDdl: String): Unit =
+    spark.sql(s"ALTER TABLE ${fqn(table)} ADD COLUMNS ($columnsDdl)")
 }

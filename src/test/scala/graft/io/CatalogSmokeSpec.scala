@@ -39,6 +39,45 @@ class CatalogSmokeSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS spark_catalog.default.pages_smoke")
   }
 
+  test("overwrite-by-filter replaces only the matching slice") {
+    val pages = Seq(
+      ("http://a/1", "old en one", "en"),
+      ("http://a/2", "body two", "de"),
+      ("http://a/3", "old en three", "en")
+    ).toDF("url", "text", "lang")
+    val io = new CatalogTableIO("spark_catalog.default")
+    try {
+      io.write(pages, "pages_ow_smoke", partitionCols = Seq("lang"))
+      // recompute the en slice only; the de row must survive untouched
+      val fresh = Seq(("http://a/9", "new en", "en")).toDF("url", "text", "lang")
+      io.overwriteWhere(fresh, "pages_ow_smoke", col("lang") === "en")
+      val back = io.read(spark, "pages_ow_smoke")
+      assert(back.count() == 2)
+      assert(back.filter(col("lang") === "de").select("text").head.getString(0) == "body two")
+      assert(back.filter(col("lang") === "en").select("url").head.getString(0) == "http://a/9")
+      // column order of the incoming frame must not matter
+      val shuffledCols = Seq(("fr", "nouvelle", "http://a/10")).toDF("lang", "text", "url")
+      io.overwriteWhere(shuffledCols.select("url", "text", "lang"), "pages_ow_smoke",
+        col("lang") === "fr")
+      assert(io.read(spark, "pages_ow_smoke").count() == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS spark_catalog.default.pages_ow_smoke")
+  }
+
+  test("schema evolution: add-column then append; old rows read null") {
+    val io = new CatalogTableIO("spark_catalog.default")
+    try {
+      io.write(Seq(("http://a/1", "body", "en")).toDF("url", "text", "lang"), "pages_evo_smoke")
+      io.addColumns(spark, "pages_evo_smoke", "quality_score DOUBLE")
+      io.append(Seq(("http://a/2", "scored", "de", 0.75))
+        .toDF("url", "text", "lang", "quality_score"), "pages_evo_smoke")
+      val back = io.read(spark, "pages_evo_smoke")
+      assert(back.columns.toSeq == Seq("url", "text", "lang", "quality_score"))
+      assert(back.filter(col("url") === "http://a/1").head.isNullAt(3))
+      assert(back.filter(col("url") === "http://a/2")
+        .select("quality_score").head.getDouble(0) == 0.75)
+    } finally spark.sql("DROP TABLE IF EXISTS spark_catalog.default.pages_evo_smoke")
+  }
+
   test("identity-partitioned catalog write prunes partitions at the scan") {
     val pages = Seq(
       ("http://a/1", "body one", "en"),
