@@ -83,6 +83,61 @@ object MinHashLSH {
     h
   }
 
+  /** Reusable per-thread scratch for distinct-shingle collection: an
+    * open-addressing table (linear probe, -1 = empty — FNV-1a values
+    * are 32-bit non-negative so the sentinel can't collide) plus a
+    * dense append array the permutation loop scans. The previous boxed
+    * `java.util.HashSet[java.lang.Long]` churned ~90 KB/doc (~36 GB
+    * over a 400k-doc corpus); at 32 task threads that allocation rate,
+    * not GC pauses, was the signature stage's scaling limiter. Scratch
+    * arrays persist per thread and are re-zeroed only over the
+    * capacity a document actually needs.
+    */
+  private final class ShingleScratch {
+    private var table: Array[Long] = new Array[Long](1 << 12)
+    private var dense: Array[Long] = new Array[Long](1 << 11)
+    private var mask: Int = 0
+    private var size: Int = 0
+
+    /** Prepare for a doc with at most `capacity` distinct shingles. */
+    def reset(capacity: Int): Unit = {
+      var cap = 1 << 12
+      while (cap < capacity * 2) cap <<= 1
+      if (table.length < cap) {
+        table = new Array[Long](cap)
+        dense = new Array[Long](cap >> 1)
+      }
+      mask = cap - 1
+      java.util.Arrays.fill(table, 0, cap, -1L)
+      size = 0
+    }
+
+    def add(h: Long): Unit = {
+      // finalizer-style mix: FNV low bits alone cluster under the mask
+      val x = h * -7046029254386353131L
+      var idx = ((x ^ (x >>> 32)) & mask).toInt
+      var v = table(idx)
+      while (v != -1L) {
+        if (v == h) return
+        idx = (idx + 1) & mask
+        v = table(idx)
+      }
+      table(idx) = h
+      dense(size) = h
+      size += 1
+    }
+
+    def values: Array[Long] = dense
+    def count: Int = size
+  }
+
+  private val scratch: ThreadLocal[ShingleScratch] =
+    ThreadLocal.withInitial(() => new ShingleScratch)
+
+  /** Tables beyond this capacity are not retained per thread (a rare
+    * giant doc shouldn't pin multi-MB scratch on every task thread). */
+  private val MaxRetainedScratchCap = 1 << 21
+
   /** MinHash signature of one document. Each DISTINCT shingle updates
     * the permutations once (repeated shingles can't change a min); the
     * update uses exact Mersenne reduction instead of `%`.
@@ -96,20 +151,26 @@ object MinHashLSH {
     // min), then a permutation-major loop: a(j)/b(j)/running-min stay
     // in registers across the shingle scan instead of re-reading three
     // arrays per (shingle, permutation) pair — ~2x on long docs.
-    val hs: Array[Long] =
-      if (t.length < n) Array(shingleHash(t + " ", 0, t.length + 1)) // short doc: one whole-text shingle
-      else {
-        val seen = new java.util.HashSet[java.lang.Long](256)
-        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
-        var i = 0
-        val limit = t.length - n
-        while (i <= limit) {
-          val h = shingleHash(t, i, n)
-          if (seen.add(h)) buf += h
-          i += 1
-        }
-        buf.result()
+    var hs: Array[Long] = null
+    var hn = 0
+    if (t.length < n) {
+      hs = Array(shingleHash(t + " ", 0, t.length + 1)) // short doc: one whole-text shingle
+      hn = 1
+    } else {
+      val capacity = t.length - n + 1
+      val s =
+        if (capacity * 2 > MaxRetainedScratchCap) new ShingleScratch
+        else scratch.get()
+      s.reset(capacity)
+      var i = 0
+      val limit = t.length - n
+      while (i <= limit) {
+        s.add(shingleHash(t, i, n))
+        i += 1
       }
+      hs = s.values
+      hn = s.count
+    }
 
     val sig = new Array[Long](k)
     var j = 0
@@ -118,7 +179,7 @@ object MinHashLSH {
       val bj = b(j)
       var m = Long.MaxValue
       var i = 0
-      while (i < hs.length) {
+      while (i < hn) {
         val v = mersenneMod(mulmodM(aj, hs(i)) + bj)
         if (v < m) m = v
         i += 1
