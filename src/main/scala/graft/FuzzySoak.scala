@@ -20,7 +20,10 @@ object FuzzySoak {
     val removed = graft.dedup.MinHashLSH.removalIds(corpus).count()
     val sec = (System.nanoTime() - t0) / 1e9
     val docs = corpus.count()
-    println(f"[fuzzy] cores=$cpus docs=$docs removed=$removed wall=$sec%.1f s docs_per_s=${docs / sec}%.0f")
+    // same-moment host-interference context (see HostCanary scaladoc):
+    // a wall measured while the canary reads < ~0.85 is host-degraded
+    val canary = HostCanary.efficiency()
+    println(f"[fuzzy] cores=$cpus docs=$docs removed=$removed wall=$sec%.1f s docs_per_s=${docs / sec}%.0f host_canary=$canary%.3f")
     spark.stop()
   }
 }

@@ -72,8 +72,9 @@ object ScalingBench {
     val (s2, k2) = pass()
     require(k1 == k2)
     val best = math.min(s1, s2)
+    val canary = HostCanary.efficiency()
     Files.writeString(Paths.get(resultPath(cpus)), s"$cpus,$best,$k1\n")
-    println(f"cores=$cpus wall=${best}%.2f s docs/s=${docs / best}%.0f kept=$k1 (passes: $s1%.2f, $s2%.2f)")
+    println(f"cores=$cpus wall=${best}%.2f s docs/s=${docs / best}%.0f kept=$k1 (passes: $s1%.2f, $s2%.2f) host_canary=$canary%.3f")
     s.stop()
   }
 
