@@ -42,14 +42,15 @@ object ProfileFuzzy {
       MinHashLSH.signatures(corpus).localCheckpoint(true)
     }
     val bands = t("bands")(MinHashLSH.bands(sigs).localCheckpoint(true))
+    // Same lag()-window chain-edge construction as the production path
+    // (MinHashLSH.candidateEdges) so this stage's wall matches what
+    // removalIds actually runs — just applied to the checkpointed bands.
     val edges = t("bucket+edges") {
-      bands.groupBy("band", "band_hash")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          "transform(slice(ids, 1, size(ids) - 1), (x, i) -> struct(x as src, ids[i + 1] as dst))"
-        )).as("e"))
-        .select(col("e.src"), col("e.dst"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "band_hash").orderBy("doc_id")
+      bands.withColumn("src", lag(col("doc_id"), 1).over(w))
+        .filter(col("src").isNotNull)
+        .select(col("src"), col("doc_id").as("dst"))
         .distinct()
         .localCheckpoint(true)
     }

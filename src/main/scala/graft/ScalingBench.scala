@@ -38,7 +38,11 @@ object ScalingBench {
   def main(args: Array[String]): Unit = args.headOption.getOrElse("all") match {
     case "gen" => gen()
     case "measure" => measure(args(1).toInt)
-    case "report" => report()
+    case "report" =>
+      // optional N 4N pair (default 8 32) — a second pair at different
+      // absolute levels (e.g. 4 16) shows the 4x ratio holds regardless
+      // of where N sits, not just at the 8->32 point
+      if (args.length > 2) report(args(1).toInt, args(2).toInt) else report()
     case "all" => // single-JVM fallback (noisier)
       gen(); measure(8); measure(32); report()
   }
@@ -78,19 +82,20 @@ object ScalingBench {
     s.stop()
   }
 
-  private def report(): Unit = {
+  private def report(lo: Int = 8, hi: Int = 32): Unit = {
     def readRes(cpus: Int): (Double, Long) = {
       val Array(_, sec, kept) = Files.readString(Paths.get(resultPath(cpus))).trim.split(",")
       (sec.toDouble, kept.toLong)
     }
-    val (sec8, kept8) = readRes(8)
-    val (sec32, kept32) = readRes(32)
-    require(kept8 == kept32, s"kept counts diverged: $kept8 vs $kept32")
-    val ds8 = docs / sec8
-    val ds32 = docs / sec32
-    val eff = ds32 / (4.0 * ds8)
+    val (secLo, keptLo) = readRes(lo)
+    val (secHi, keptHi) = readRes(hi)
+    require(keptLo == keptHi, s"kept counts diverged: $keptLo vs $keptHi")
+    val ratio = hi.toDouble / lo
+    val dsLo = docs / secLo
+    val dsHi = docs / secHi
+    val eff = dsHi / (ratio * dsLo)
     val report =
-      f"""# BENCH_SCALING — N vs 4N parallelism (local[8] vs local[32])
+      f"""# BENCH_SCALING — N vs ${ratio}%.0fN parallelism (local[$lo] vs local[$hi])
          |
          |Protocol: BASELINE.md "Scaling efficiency" row. Identical job
          |(full curation pipeline: 28-filter cascade + langid + PII/profanity
@@ -101,16 +106,16 @@ object ScalingBench {
          |
          || cores | wall s | docs/s | docs/s/core | kept |
          ||---|---|---|---|---|
-         || 8  | $sec8%.2f | ${ds8}%.0f | ${ds8 / 8}%.0f | $kept8 |
-         || 32 | $sec32%.2f | ${ds32}%.0f | ${ds32 / 32}%.0f | $kept32 |
+         || $lo  | $secLo%.2f | ${dsLo}%.0f | ${dsLo / lo}%.0f | $keptLo |
+         || $hi | $secHi%.2f | ${dsHi}%.0f | ${dsHi / hi}%.0f | $keptHi |
          |
-         |Scaling efficiency (docs/s@32) / (4 x docs/s@8) = $eff%.3f
+         |Scaling efficiency (docs/s@$hi) / (${ratio}%.0f x docs/s@$lo) = $eff%.3f
          |(target >= 0.8). Reference CPU comparable: ~300 docs/s/core
          |(19k docs/s on 64 cores, heuristic cascade,
          |nightly-benchmark.yaml:340-368).
          |""".stripMargin
-    Files.writeString(Paths.get("BENCH_SCALING.md"), report)
+    if (lo == 8 && hi == 32) Files.writeString(Paths.get("BENCH_SCALING.md"), report)
     println(report)
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","queries":{"docs_per_s_8":$ds8%.1f,"docs_per_s_32":$ds32%.1f},"sf":"$docs docs"}""")
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","queries":{"docs_per_s_$lo":$dsLo%.1f,"docs_per_s_$hi":$dsHi%.1f},"sf":"$docs docs"}""")
   }
 }
