@@ -68,34 +68,104 @@ final class ManifestParquetIO(root: String) extends TableIO with Serializable {
     * killed run reprocesses only uncommitted units and the final output
     * equals a single-run output. `partitionCols` adds hive-style output
     * partitioning inside each unit (e.g. lang) so downstream reads prune.
+    *
+    * Concurrent drivers: single-writer is the manifest impl's contract
+    * (the Iceberg CatalogTableIO path commits atomic snapshots and is
+    * the answer for genuinely concurrent drivers) — but a live kill/rerun
+    * drill showed what happens when a second driver DOES share the root
+    * (zombie JVM surviving a botched kill, retry scheduler, operator
+    * error): a committed-set re-check alone is check-then-act and both
+    * drivers walked the same unit list, double-committing 10/64 units
+    * and tearing an Overwrite ("Unable to clear output directory …
+    * _temporary still exists" when one driver cleared the dir the other
+    * was writing). Units are therefore claimed via an atomic lock file
+    * (`fs.create(overwrite=false)` — atomic on local FS and HDFS;
+    * advisory only on S3) holding `pid@host`. A claim found held by a
+    * DEAD pid on the same host is broken (exact resume after SIGKILL
+    * needs no lease timers); a claim held by a live or unverifiable
+    * owner is skipped and reported — two live drivers partition the
+    * units between them instead of racing.
+    *
+    * @return units left uncommitted because another live driver holds
+    *         them (empty on any single-driver run, including reruns
+    *         after a crash)
     */
   def runCheckpointed(df: DataFrame, unitCol: String, table: String,
                       partitionCols: Seq[String] = Nil)
-                     (process: DataFrame => DataFrame): Unit = {
+                     (process: DataFrame => DataFrame): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val done = committedUnits(table)
     val units = df.select(unitCol).distinct().collect().map(_.get(0).toString).sorted
+    val skipped = scala.collection.mutable.ListBuffer.empty[String]
     for (u <- units if !done.contains(u)) {
-      // single-writer is the manifest impl's contract (like any plain
-      // parquet output path; the Iceberg CatalogTableIO path commits
-      // atomic snapshots and is the answer for concurrent drivers) —
-      // but if a second driver DOES share the root (retry scheduler,
-      // operator error), re-checking right before each unit turns the
-      // race into convergence instead of duplicate work + a torn
-      // Overwrite: only the startup snapshot `done` goes stale, not
-      // this read (one tiny manifest read per unit)
+      // the startup snapshot `done` goes stale if another driver commits;
+      // re-read the manifest right before claiming (one tiny read/unit)
       if (!committedUnits(table).contains(u)) {
-        val part = process(df.filter(col(unitCol) === u))
-        // row count observed on the write job itself — no output re-read,
-        // and a fully-filtered unit reports rows=0 naturally (the old
-        // read-back threw on the _SUCCESS-only directory such units leave)
-        val obs = org.apache.spark.sql.Observation()
-        val w = part.observe(obs, count(lit(1)).as("rows")).write.mode(SaveMode.Overwrite)
-        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-          .parquet(s"${path(table)}/unit=$u")
-        appendManifest(table, s"""{"event":"unit_commit","table":"$table","unit":"$u","rows":${obs.get("rows")}}""")
+        if (!tryClaimUnit(fs, table, u)) skipped += u
+        else try {
+          val part = process(df.filter(col(unitCol) === u))
+          // row count observed on the write job itself — no output re-read,
+          // and a fully-filtered unit reports rows=0 naturally (the old
+          // read-back threw on the _SUCCESS-only directory such units leave)
+          val obs = org.apache.spark.sql.Observation()
+          val w = part.observe(obs, count(lit(1)).as("rows")).write.mode(SaveMode.Overwrite)
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+            .parquet(s"${path(table)}/unit=$u")
+          appendManifest(table, s"""{"event":"unit_commit","table":"$table","unit":"$u","rows":${obs.get("rows")}}""")
+        } finally fs.delete(unitLockPath(table, u), false)
+      }
+    }
+    val leftover = skipped.toList.filterNot(committedUnits(table).contains)
+    if (leftover.nonEmpty)
+      System.err.println(s"[resume] ${leftover.size} unit(s) of '$table' held by another live driver " +
+        s"and still uncommitted: ${leftover.take(10).mkString(",")}${if (leftover.size > 10) ",…" else ""} — " +
+        "rerun after it finishes (or clear stale locks under " + s"${path(table)}/_unit_locks)")
+    leftover
+  }
+
+  // underscore-prefixed so Spark/Hadoop input listing ignores the dir
+  private def unitLockPath(table: String, u: String) =
+    new org.apache.hadoop.fs.Path(s"${path(table)}/_unit_locks/$u.lock")
+
+  /** Atomically claim a unit. Breaks the lock only when its owner is a
+    * provably dead pid on this host (the SIGKILL-resume case).
+    */
+  private def tryClaimUnit(fs: org.apache.hadoop.fs.FileSystem, table: String, u: String): Boolean = {
+    val p = unitLockPath(table, u)
+    // local FS: fs.create(overwrite=false) is check-then-create (TOCTOU —
+    // two drivers both claimed unit 0 in the regression test); O_EXCL via
+    // nio CREATE_NEW is the atomic primitive. HDFS: create(false) IS
+    // atomic server-side. S3 & friends: advisory only (documented above).
+    def create(): Boolean =
+      if (fs.getScheme == "file")
+        try {
+          val local = java.nio.file.Paths.get(p.toUri.getPath)
+          java.nio.file.Files.createDirectories(local.getParent)
+          java.nio.file.Files.write(local, lockOwner.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE_NEW)
+          true
+        } catch { case _: java.io.IOException => false }
+      else
+        try { val out = fs.create(p, false); out.writeBytes(lockOwner); out.close(); true }
+        catch { case _: java.io.IOException => false }
+    create() || {
+      val owner = try {
+        val in = fs.open(p)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      } catch { case _: java.io.IOException => return false } // vanished/racing — let the other driver have it
+      owner.split("@", 2) match {
+        case Array(pid, host) if host == lockHost && pid.matches("\\d+") &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
+          fs.delete(p, false); create()
+        case _ => false // live, foreign-host, or unparseable owner — skip, don't race
       }
     }
   }
+
+  private def lockOwner = s"${ProcessHandle.current().pid()}@$lockHost"
+  private lazy val lockHost =
+    try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown-host" }
 }
 
 /** `utils/split_large_files.py`'s job — rewrite parquet into
