@@ -103,6 +103,12 @@ final class ManifestParquetIO(root: String) extends TableIO with Serializable {
       // re-read the manifest right before claiming (one tiny read/unit)
       if (!committedUnits(table).contains(u)) {
         if (!tryClaimUnit(fs, table, u)) skipped += u
+        // post-claim re-check: another driver may have committed u and
+        // released its lock between our manifest read and our claim (the
+        // commit manifest line is appended BEFORE the lock is deleted,
+        // so claim-then-recheck cannot miss it) — without this, that
+        // window reprocessed the unit and duplicated its manifest line
+        else if (committedUnits(table).contains(u)) fs.delete(unitLockPath(table, u), false)
         else try {
           val part = process(df.filter(col(unitCol) === u))
           // row count observed on the write job itself — no output re-read,
