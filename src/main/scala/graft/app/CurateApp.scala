@@ -53,9 +53,17 @@ object CurateApp {
     // lang-partitioned inside each unit (the manifest-parquet stand-in
     // for Iceberg's PARTITIONED BY (days(warc_ts), lang)).
     val partCols = if (pages.columns.contains("lang")) Seq("lang") else Nil
-    io.runCheckpointed(pages, "unit", "curated", partCols) { part =>
+    val leftover = io.runCheckpointed(pages, "unit", "curated", partCols) { part =>
       CurationPipeline.curate(part).drop("unit", "text")
         .withColumnRenamed("scrubbed_text", "text")
+    }
+    if (leftover.nonEmpty) {
+      // another live driver holds these units — metrics/kept counts over
+      // a partial table would silently misreport; fail loudly instead
+      System.err.println(s"curate INCOMPLETE: ${leftover.size} unit(s) held by another driver " +
+        s"(${leftover.take(10).mkString(",")}); rerun once it finishes")
+      spark.stop()
+      sys.exit(3)
     }
 
     val scored = spark.read.parquet(s"$outRoot/curated")

@@ -164,7 +164,18 @@ final class ManifestParquetIO(root: String) extends TableIO with Serializable {
         case Array(pid, host) if host == lockHost && pid.matches("\\d+") &&
             !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) =>
           fs.delete(p, false); create()
-        case _ => false // live, foreign-host, or unparseable owner — skip, don't race
+        case _ =>
+          // live, foreign-host, or unparseable owner. Pid-liveness can't
+          // be checked across hosts, so a driver that crashed on ANOTHER
+          // node would otherwise block resume forever; the opt-in lease
+          // (-Dgraft.resume.lockLeaseMs=N) breaks locks older than N ms —
+          // set it above any plausible single-unit processing time
+          val lease = sys.props.get("graft.resume.lockLeaseMs").map(_.toLong)
+          val expired = lease.exists { ms =>
+            try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > ms
+            catch { case _: java.io.IOException => false } // vanished — retry below
+          }
+          if (expired) { fs.delete(p, false); create() } else false
       }
     }
   }

@@ -85,4 +85,35 @@ class ConcurrentDriversSpec extends AnyFunSuite {
     assert(io.committedUnits("out") == Set("0", "1", "2", "3"))
     assert(spark.read.parquet(s"$root/out").count() == 100)
   }
+
+  test("opt-in lease breaks an expired foreign-host lock (crashed driver on another node)") {
+    val root = Files.createTempDirectory("tableio_lease").toString
+    val io = new ManifestParquetIO(root)
+    val df = spark.range(0, 100).withColumn("unit", (col("id") % 4).cast("string"))
+
+    Files.createDirectories(lockDir(root))
+    val lock = lockDir(root).resolve("3.lock")
+    Files.writeString(lock, "777@crashed-remote-node")
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+
+    // without the lease: blocked and reported
+    assert(io.runCheckpointed(df, "unit", "out")(d => d) == Seq("3"))
+
+    // with a 10s lease: the 60s-old lock is expired — broken and completed
+    System.setProperty("graft.resume.lockLeaseMs", "10000")
+    try assert(io.runCheckpointed(df, "unit", "out")(d => d).isEmpty)
+    finally System.clearProperty("graft.resume.lockLeaseMs")
+    assert(io.committedUnits("out") == Set("0", "1", "2", "3"))
+    assert(spark.read.parquet(s"$root/out").count() == 100)
+
+    // a FRESH foreign lock is respected even with the lease on
+    val root2 = Files.createTempDirectory("tableio_lease2").toString
+    val io2 = new ManifestParquetIO(root2)
+    Files.createDirectories(java.nio.file.Paths.get(s"$root2/out/_unit_locks"))
+    Files.writeString(java.nio.file.Paths.get(s"$root2/out/_unit_locks/0.lock"), "777@live-remote-node")
+    System.setProperty("graft.resume.lockLeaseMs", "600000")
+    try assert(io2.runCheckpointed(df, "unit", "out")(d => d) == Seq("0"))
+    finally System.clearProperty("graft.resume.lockLeaseMs")
+  }
 }
