@@ -199,13 +199,40 @@ object SemanticDedup {
                        whichToKeep: String = "hard", seed: Long = 42,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        targetCellSize: Int = TargetCellSize,
-                       maxCellSize: Int = MaxCellSize): DataFrame = {
+                       maxCellSize: Int = MaxCellSize): DataFrame =
+    removalFromBlocks(
+      rankedBlocks(df, k, whichToKeep, seed, idCol, vecCol, targetCellSize, maxCellSize),
+      eps, whichToKeep, seed, idCol, vecCol)
+
+  /** The kmeans/blocking tier of [[removalIdsRanked]]: fit + assign +
+    * hard-cap sub-split + centroid distance — everything upstream of the
+    * pairwise join, as a plain (id, vec, _block, _cdist) frame. This is
+    * the stage the reference persists to cache_path as kmeans_results
+    * (semantic/workflow.py:150-153); [[SemanticCheckpoint]] checkpoints
+    * exactly this frame.
+    */
+  def rankedBlocks(df: DataFrame, k: Int, whichToKeep: String = "hard", seed: Long = 42,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   targetCellSize: Int = TargetCellSize,
+                   maxCellSize: Int = MaxCellSize): DataFrame = {
     require(Set("hard", "easy", "random").contains(whichToKeep))
     val mat = df.localCheckpoint(true) // one embedder pass (see withBlocks)
     val model = fitModel(mat, autoK(mat.count(), k, targetCellSize), seed, vecCol)
     val clustered = subSplit(assign(mat, model, vecCol), idCol, maxCellSize)
     val centroids: Array[Array[Float]] = model.centroids.map(_.map(_.toFloat))
     val centroidOf = udf((cluster: Int) => centroids(cluster).toSeq)
+    if (whichToKeep == "random") clustered.withColumn("_cdist", lit(0.0))
+    else clustered.withColumn("_cdist",
+      lit(1.0) - Knn.cosineCol(col(vecCol), centroidOf(col("cluster"))))
+  }
+
+  /** The pairwise tier of [[removalIdsRanked]] over a blocking frame
+    * from [[rankedBlocks]].
+    */
+  def removalFromBlocks(blocks: DataFrame, eps: Double,
+                        whichToKeep: String = "hard", seed: Long = 42,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(Set("hard", "easy", "random").contains(whichToKeep))
     // the reference RankingStrategy sorts [distance, id] with ONE
     // ascending flag — the id tie-break follows the distance direction
     // (descending for "hard"), which decides keep/remove for exact
@@ -215,15 +242,11 @@ object SemanticDedup {
       case "easy"   => Seq(col("_cdist").asc, col(idCol).asc)
       case "random" => Seq(xxhash64(col(idCol), lit(seed)).asc, col(idCol).asc)
     }
-    val withDist =
-      if (whichToKeep == "random") clustered.withColumn("_cdist", lit(0.0))
-      else clustered.withColumn("_cdist",
-        lit(1.0) - Knn.cosineCol(col(vecCol), centroidOf(col("cluster"))))
     // rank + pairwise both key on _block (= cluster unless a hot cell
     // crossed MaxCellSize and sub-split), so one skewed cell can never
     // make the l×r join quadratic in the corpus
     val w = Window.partitionBy("_block").orderBy(rankKey: _*)
-    val ranked = withDist.withColumn("_rank", row_number().over(w))
+    val ranked = blocks.withColumn("_rank", row_number().over(w))
     val l = ranked.select(col("_block"), col(vecCol).as("_v1"), col("_rank").as("_r1"))
     val r = ranked.select(col("_block"), col(idCol).as("_removed"), col(vecCol).as("_v2"), col("_rank").as("_r2"))
     l.join(r, "_block")

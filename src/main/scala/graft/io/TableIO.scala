@@ -51,6 +51,28 @@ final class ManifestParquetIO(root: String) extends TableIO with Serializable {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
+  /** True once a whole-table [[write]] commit is recorded for `table`
+    * (stage-level resume: rerun reads the table instead of recomputing).
+    * Matches only the whole-table event — `unit_commit` lines don't count.
+    */
+  def committedTable(table: String): Boolean = {
+    val p = manifestPath(table)
+    Files.exists(p) &&
+      scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(p)).asScala
+        .exists(_.contains(""""event":"commit""""))
+  }
+
+  /** Compute-once stage table: the first run writes + commits `table`,
+    * every run (including the first) reads the committed table back —
+    * stage-level resume for multi-stage workflows (fuzzy/semantic dedup
+    * cache_path). A half-written table from a killed run has no commit
+    * line and is simply rewritten.
+    */
+  def stageTable(spark: SparkSession, table: String)(compute: => DataFrame): DataFrame = {
+    if (!committedTable(table)) write(compute, table)
+    read(spark, table)
+  }
+
   /** Work units already committed for `table` (for resume). */
   def committedUnits(table: String): Set[String] = {
     val p = manifestPath(table)

@@ -203,9 +203,24 @@ object ConfigPipeline {
           charNgrams = int("char_ngrams", 24),
           numBands = int("num_bands", 20),
           rowsPerBand = int("minhashes_per_band", 13))
-        if (bool("perform_removal", d = false))
-          graft.dedup.MinHashLSH.removeDuplicates(withId, p, idCol = idCol, textCol = textField)
-        else removalOutput(graft.dedup.MinHashLSH.removalIds(withId, p, idCol = idCol, textCol = textField))
+        opt("cache_path").filter(_ != "null") match {
+          case Some(cache) =>
+            // reference contract: cache_path persists each stage
+            // (minhashes/edges/components) so a crashed run resumes from
+            // the last completed stage. Synthetic ids are persisted too —
+            // they are not stable across reruns otherwise.
+            val base = if (syntheticIds) graft.dedup.FuzzyCheckpoint.stableInput(withId, cache)
+                       else withId
+            val removal = graft.dedup.FuzzyCheckpoint.removalIds(base, p, cache, idCol, textField)
+            if (bool("perform_removal", d = false))
+              base.join(removal, Seq(idCol), "left_anti")
+            else if (syntheticIds) base.join(removal, Seq(idCol), "left_semi").drop(idCol)
+            else removal
+          case None =>
+            if (bool("perform_removal", d = false))
+              graft.dedup.MinHashLSH.removeDuplicates(withId, p, idCol = idCol, textCol = textField)
+            else removalOutput(graft.dedup.MinHashLSH.removalIds(withId, p, idCol = idCol, textCol = textField))
+        }
       case "TextSemanticDeduplicationWorkflow" =>
         // model_identifier: when it names a committed GEMB word-vector
         // artifact (file or classpath), the ARTIFACT embedder runs
@@ -227,13 +242,29 @@ object ConfigPipeline {
               .getOrDefault("ascending", "false")).exists(_.toBoolean)
           case _ => false
         }
-        val removal = graft.dedup.SemanticDedup.removalIdsRanked(
-          emb, k = int("n_clusters", 100), eps = dbl("eps", 0.01),
-          whichToKeep = if (ascending) "easy" else "hard",
-          idCol = idCol, vecCol = "embedding")
+        val keep = if (ascending) "easy" else "hard"
+        // with cache_path, output joins key off the PERSISTED embeddings
+        // (synthetic ids are not stable across a crashed run + rerun)
+        val (base, removal) = opt("cache_path").filter(_ != "null") match {
+          case Some(cache) =>
+            // reference contract: cache_path persists embeddings and the
+            // kmeans tier so a crashed run resumes from the last
+            // completed stage (embedding inference is the expensive one)
+            val embCached = graft.dedup.SemanticCheckpoint.embeddedInput(emb, cache)
+            (embCached.drop("embedding"),
+              graft.dedup.SemanticCheckpoint.removalIdsRanked(
+                embCached, k = int("n_clusters", 100), eps = dbl("eps", 0.01), cache,
+                whichToKeep = keep, idCol = idCol, vecCol = "embedding"))
+          case None =>
+            (withId,
+              graft.dedup.SemanticDedup.removalIdsRanked(
+                emb, k = int("n_clusters", 100), eps = dbl("eps", 0.01),
+                whichToKeep = keep, idCol = idCol, vecCol = "embedding"))
+        }
         if (bool("perform_removal", d = false))
-          withId.join(removal, Seq(idCol), "left_anti")
-        else removalOutput(removal)
+          base.join(removal, Seq(idCol), "left_anti")
+        else if (syntheticIds) base.join(removal, Seq(idCol), "left_semi").drop(idCol)
+        else removal
       case other => throw new IllegalArgumentException(s"unsupported workflow _target_: $other")
     }
     val outPath = str("output_path")
