@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analysis.TextStats
-import graft.dedup.{ExactDedup, MinHashLSH, SimHash}
+import graft.dedup.{ExactDedup, IncrementalDedup, MinHashLSH, SimHash}
 import graft.filters.{DocFilter, HeuristicFilters => HF}
 import graft.pipeline.CurationPipeline
 import graft.scrub.{Modifiers, PiiScrub}
@@ -151,6 +151,37 @@ object SparkEntry {
              WHEN doc_id % 10 = 3 THEN replace('$ndTemplate', '#', cast(doc_id - 3 as string)) || ' xtail'
              WHEN doc_id % 10 = 7 THEN replace('$ndTemplate', '#', cast(doc_id - 7 as string))
              ELSE replace('$ndTemplateElse', '#', 'u' || md5(cast(doc_id as string))) END"""
+  // incremental-dedup input: the nearDupIn construction EXTENDED with a
+  // second planted template so a corpus/batch split on doc_id parity
+  // exercises every incremental-semantics path with a closed-form
+  // oracle. Decades are even (g = 10k), so residues pick sides
+  // deterministically: g+2 (even -> corpus) anchors template-1;
+  // g+3 (odd -> batch, +' xtail', J~0.989) and g+7 (odd -> batch, exact
+  // copy) are DIRECT HITS against the corpus index; g+5/g+9 (both odd
+  // -> batch) are a template-2 near-dup pair with NO corpus
+  // counterpart — an UNANCHORED intra-batch component keeping its min
+  // (g+5), removing g+9. Everything else is the globally-unique
+  // else-template. Expected removals among the odd batch: residues
+  // {3, 7, 9} exactly — linear SQL, scale-robust (same LSH-miss
+  // analysis as nearDupIn: per-pair miss probability ~1e-20).
+  private val ndTemplate2 =
+    (0 until 96).map(i => s"n${('a' + i / 26).toChar}${('a' + i % 26).toChar}#").mkString(" ")
+  private val incDupIn =
+    s"""CASE WHEN doc_id % 10 = 2 THEN replace('$ndTemplate', '#', cast(doc_id - 2 as string))
+             WHEN doc_id % 10 = 3 THEN replace('$ndTemplate', '#', cast(doc_id - 3 as string)) || ' xtail'
+             WHEN doc_id % 10 = 7 THEN replace('$ndTemplate', '#', cast(doc_id - 7 as string))
+             WHEN doc_id % 10 = 5 THEN replace('$ndTemplate2', '#', cast(doc_id - 5 as string))
+             WHEN doc_id % 10 = 9 THEN replace('$ndTemplate2', '#', cast(doc_id - 9 as string)) || ' ytail'
+             ELSE replace('$ndTemplateElse', '#', 'u' || md5(cast(doc_id as string))) END"""
+  // incremental EXACT input: %5==0 docs share one of three texts keyed
+  // by doc_id % 15, so every odd member's text also exists on an even
+  // (corpus) member -> the planted batch removals are the odd %5==0
+  // ids. Other docs keep NATURAL text, which contains genuine duplicate
+  // pairs at sf0.1+ (found by the 10x sweep: +6 removals at 5k rows) —
+  // so the oracle recomputes the index/keep-first semantics in SQL
+  // rather than asserting the closed form.
+  private val exactIncIn =
+    "CASE WHEN doc_id % 5 = 0 THEN 'shared snapshot page body ' || cast(doc_id % 15 as string) ELSE text END"
   // char-NGRAM-embedding variant of nearDupIn for the embedding-space
   // near-dup entry: decimal salts are suffix-correlated ('1032' is a
   // substring of '41032'), which leaves token-Jaccard at 0 but pushes
@@ -625,6 +656,26 @@ object SparkEntry {
           spread(tbl(s, dir, "documents").withColumn("text", expr(nearDupIn))),
           minJaccard = 0.5)
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // incremental (cross-snapshot) fuzzy dedup: even docs are the
+    // already-kept corpus (banded index), odd docs the new batch; the
+    // construction (see incDupIn) plants direct hits, a transitively
+    // anchored pair, and an unanchored intra-batch pair, so the removal
+    // set has a closed-form linear oracle at every scale
+    "dedup_incremental_ids" -> ((s, dir) => {
+      val docs = spread(tbl(s, dir, "documents").withColumn("text", expr(incDupIn)))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      IncrementalDedup.fuzzyRemovalIds(batch, IncrementalDedup.fuzzyIndex(corpus))
+    }),
+
+    // incremental EXACT dedup against a corpus md5 index (see exactIncIn)
+    "dedup_incremental_exact" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("text", expr(exactIncIn))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      IncrementalDedup.exactRemovalIds(batch, IncrementalDedup.exactIndex(corpus))
+    }),
 
     // ================= similarity search =================
     "knn_brute" -> ((s, dir) => {
@@ -1699,6 +1750,25 @@ object SparkEntry {
         s"""SELECT doc_id FROM (
              SELECT doc_id, row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
              FROM (SELECT doc_id, $exactDupIn AS t FROM documents)) WHERE rn = 1""",
+
+      // closed-form removal sets of the incremental constructions (see
+      // incDupIn / exactIncIn): linear predicates, no O(n^2) recompute
+      "dedup_incremental_ids" ->
+        "SELECT doc_id FROM documents WHERE doc_id % 2 = 1 AND doc_id % 10 IN (3, 7, 9)",
+
+      // recomputes the semantics (indexed-hash hit OR intra-batch
+      // keep-first loser) — robust to natural duplicate texts in the
+      // raw corpus, which exist from sf0.1 up
+      "dedup_incremental_exact" ->
+        s"""WITH h AS (
+              SELECT doc_id, md5(t) AS hh
+              FROM (SELECT doc_id, $exactIncIn AS t FROM documents)),
+            b AS (
+              SELECT doc_id, hh,
+                     row_number() OVER (PARTITION BY hh ORDER BY doc_id) AS rn
+              FROM h WHERE doc_id % 2 = 1)
+            SELECT doc_id FROM b
+            WHERE rn > 1 OR hh IN (SELECT hh FROM h WHERE doc_id % 2 = 0)""",
 
       "knn_lsh" ->
         """SELECT count(*) AS queries, true AS mean_recall_ok, true AS every_query_hits

@@ -160,4 +160,14 @@ $footerBoiler</body></html>"""
     import spark.implicits._
     spark.range(0, rows, 1, partitions).as[Long].map(i => page(i)).toDF()
   }
+
+  /** A later SLICE of the same deterministic stream — a "next snapshot"
+    * for incremental-dedup runs: rows i%40==8 duplicate the corpus's
+    * planted exact group, class-9 rows near-dup their own in-slice base.
+    */
+  def generateRange(spark: SparkSession, start: Long, end: Long,
+                    partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(start, end, 1, partitions).as[Long].map(i => page(i)).toDF()
+  }
 }

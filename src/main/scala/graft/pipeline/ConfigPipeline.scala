@@ -191,35 +191,85 @@ object ConfigPipeline {
       if (syntheticIds) withId.join(removalIds, Seq(idCol), "left_semi").drop(idCol)
       else removalIds
 
+    // BEYOND-THE-REFERENCE `index_path` extension: dedupe THIS batch
+    // against a persisted corpus index (graft.dedup.IncrementalDedup) at
+    // cost proportional to the batch. A missing path is the bootstrap
+    // snapshot: plain self-dedup; with `update_index: true` the kept
+    // docs then create (bootstrap) or extend (later snapshots) the
+    // index. update_index defaults FALSE — reruns of a crashed batch
+    // would append the same bands twice (harmless for correctness of
+    // the semi-join, but the index grows), so mutation is opt-in.
+    def incremental(ip: String,
+                    bootstrapIds: => DataFrame,
+                    againstIndex: DataFrame => DataFrame,
+                    writeIndex: DataFrame => Unit,
+                    appendIndex: DataFrame => Unit): DataFrame = {
+      val hp = new org.apache.hadoop.fs.Path(ip)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(hp)
+      // eager checkpoint: the thin removal-id list feeds both the
+      // output and the kept-side index update
+      val removal = (if (exists) againstIndex(spark.read.parquet(ip)) else bootstrapIds)
+        .localCheckpoint(true)
+      lazy val kept = withId.join(removal, Seq(idCol), "left_anti")
+      if (bool("update_index", d = false)) {
+        if (exists) appendIndex(kept) else writeIndex(kept)
+      }
+      if (bool("perform_removal", d = false)) kept
+      else removalOutput(removal)
+    }
+
+    // single-corpus fuzzy run (the reference's own contract), with the
+    // cache_path stage-resume variant
+    def runFuzzySingle(p: graft.dedup.MinHashLSH.Params): DataFrame =
+      opt("cache_path").filter(_ != "null") match {
+        case Some(cache) =>
+          // reference contract: cache_path persists each stage
+          // (minhashes/edges/components) so a crashed run resumes from
+          // the last completed stage. Synthetic ids are persisted too —
+          // they are not stable across reruns otherwise.
+          val base = if (syntheticIds) graft.dedup.FuzzyCheckpoint.stableInput(withId, cache)
+                     else withId
+          val removal = graft.dedup.FuzzyCheckpoint.removalIds(base, p, cache, idCol, textField)
+          if (bool("perform_removal", d = false))
+            base.join(removal, Seq(idCol), "left_anti")
+          else if (syntheticIds) base.join(removal, Seq(idCol), "left_semi").drop(idCol)
+          else removal
+        case None =>
+          if (bool("perform_removal", d = false))
+            graft.dedup.MinHashLSH.removeDuplicates(withId, p, idCol = idCol, textCol = textField)
+          else removalOutput(graft.dedup.MinHashLSH.removalIds(withId, p, idCol = idCol, textCol = textField))
+      }
+
     val target = scalar(wf("_target_")).get.split('.').last
     val result: DataFrame = target match {
       case "ExactDeduplicationWorkflow" =>
-        if (bool("perform_removal", d = false))
-          graft.dedup.ExactDedup.removeDuplicates(withId, idCol = idCol, textCol = textField)
-        else removalOutput(graft.dedup.ExactDedup.removalIds(withId, idCol = idCol, textCol = textField))
+        opt("index_path").filter(_ != "null") match {
+          case Some(ip) =>
+            incremental(ip,
+              graft.dedup.ExactDedup.removalIds(withId, idCol = idCol, textCol = textField),
+              idx => graft.dedup.IncrementalDedup.exactRemovalIds(withId, idx, idCol, textField),
+              kept => graft.dedup.IncrementalDedup.writeExactIndex(kept, ip, textField),
+              kept => graft.dedup.IncrementalDedup.appendExactIndex(kept, ip, textField))
+          case None =>
+            if (bool("perform_removal", d = false))
+              graft.dedup.ExactDedup.removeDuplicates(withId, idCol = idCol, textCol = textField)
+            else removalOutput(graft.dedup.ExactDedup.removalIds(withId, idCol = idCol, textCol = textField))
+        }
       case "FuzzyDeduplicationWorkflow" =>
         val p = graft.dedup.MinHashLSH.Params(
           seed = int("seed", 42).toLong,
           charNgrams = int("char_ngrams", 24),
           numBands = int("num_bands", 20),
           rowsPerBand = int("minhashes_per_band", 13))
-        opt("cache_path").filter(_ != "null") match {
-          case Some(cache) =>
-            // reference contract: cache_path persists each stage
-            // (minhashes/edges/components) so a crashed run resumes from
-            // the last completed stage. Synthetic ids are persisted too —
-            // they are not stable across reruns otherwise.
-            val base = if (syntheticIds) graft.dedup.FuzzyCheckpoint.stableInput(withId, cache)
-                       else withId
-            val removal = graft.dedup.FuzzyCheckpoint.removalIds(base, p, cache, idCol, textField)
-            if (bool("perform_removal", d = false))
-              base.join(removal, Seq(idCol), "left_anti")
-            else if (syntheticIds) base.join(removal, Seq(idCol), "left_semi").drop(idCol)
-            else removal
-          case None =>
-            if (bool("perform_removal", d = false))
-              graft.dedup.MinHashLSH.removeDuplicates(withId, p, idCol = idCol, textCol = textField)
-            else removalOutput(graft.dedup.MinHashLSH.removalIds(withId, p, idCol = idCol, textCol = textField))
+        opt("index_path").filter(_ != "null") match {
+          case Some(ip) =>
+            incremental(ip,
+              graft.dedup.MinHashLSH.removalIds(withId, p, idCol = idCol, textCol = textField),
+              idx => graft.dedup.IncrementalDedup.fuzzyRemovalIds(withId, idx, p, idCol, textField),
+              kept => graft.dedup.IncrementalDedup.writeFuzzyIndex(kept, ip, p, idCol, textField),
+              kept => graft.dedup.IncrementalDedup.appendFuzzyIndex(kept, ip, p, idCol, textField))
+          case None => runFuzzySingle(p)
         }
       case "TextSemanticDeduplicationWorkflow" =>
         // model_identifier: when it names a committed GEMB word-vector
