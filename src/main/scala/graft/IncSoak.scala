@@ -50,7 +50,9 @@ object IncSoak {
     // runs first (observed: +6-10 s on the first timed pass)
     graft.dedup.MinHashLSH.removalIds(batch.limit(20000)).count()
 
-    val idxPath = s"/tmp/inc_idx_${corpusDocs}_${ProcessHandle.current.pid}"
+    // stable path (overwritten per run): pid-keyed dirs would
+    // accumulate a corpus-scale band table per invocation
+    val idxPath = s"/tmp/inc_idx_$corpusDocs"
     val (_, tIndex) = time {
       graft.dedup.IncrementalDedup.writeFuzzyIndex(corpus, idxPath)
     }

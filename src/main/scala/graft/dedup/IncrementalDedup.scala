@@ -37,9 +37,15 @@ import org.apache.spark.sql.functions._
   * key (`df.write.bucketBy(n, "band", "band_hash").sortBy(...)
   * .saveAsTable(...)`) so each batch run shuffles only the batch side;
   * a plain parquet index shuffles index keys once per run, which is
-  * still thin (two longs + id per row). After curation, append the KEPT
-  * batch docs' bands via [[appendFuzzyIndex]] so the index tracks the
-  * corpus.
+  * still thin (two longs + id per row).
+  *
+  * Index maintenance: prefer the SNAPSHOT layout
+  * ([[fuzzySnapshotRemovalIds]] / [[exactSnapshotRemovalIds]] — what the
+  * workflow YAMLs' `index_path` uses), which is rerun-idempotent at any
+  * crash point. The flat [[writeFuzzyIndex]]/[[appendFuzzyIndex]]
+  * primitives remain for pipelines with their own commit protocol —
+  * a naive append-after-dedup is NOT rerun-safe (see the snapshot
+  * section below).
   */
 object IncrementalDedup {
 
@@ -135,6 +141,103 @@ object IncrementalDedup {
                             p: MinHashLSH.Params = MinHashLSH.Params(),
                             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     batch.join(fuzzyRemovalIds(batch, index, p, idCol, textCol), Seq(idCol), "left_anti")
+
+  // ---------------- snapshot-scoped index (crash-safe reruns) ----------------
+  //
+  // The flat write/append index above is a primitive: correct for a
+  // pipeline that manages its own commit protocol, but a naive
+  // append-after-dedup is NOT rerun-safe — re-running a batch whose
+  // append already landed would find the batch's own (deterministic)
+  // bands in the index and classify the ENTIRE batch as duplicates.
+  // The snapshot layout removes that failure mode structurally: each
+  // snapshot's kept bands land in their own manifest-committed subtable
+  // under the index root, and dedup of snapshot S reads every OTHER
+  // committed snapshot. A rerun of S therefore computes the same
+  // removals no matter where the previous attempt died (before, during
+  // or after its index write — the write is an idempotent Overwrite of
+  // S's own subtable), and concurrent drivers on DIFFERENT snapshots
+  // never touch the same files. Same-snapshot concurrency stays
+  // single-writer, like every manifest table in graft.io.TableIO.
+
+  private def snapTable(snapshotId: String): String =
+    "snap_" + snapshotId.map(c => if (c.isLetterOrDigit || c == '.' || c == '-' || c == '_') c else '_')
+
+  /** Committed snapshot tables under `root`, excluding `exclude`'s own. */
+  private def committedSnapshotTables(root: String, exclude: String): Seq[String] = {
+    val io = new graft.io.ManifestParquetIO(root)
+    val dir = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.isDirectory(dir)) return Seq.empty
+    val stream = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("snap_") && n.endsWith("_manifest.jsonl"))
+        .map(_.stripSuffix("_manifest.jsonl"))
+        .filter(t => t != snapTable(exclude) && io.committedTable(t))
+        .toList
+    } finally stream.close()
+  }
+
+  /** Bucket keys of every committed snapshot under `root` except
+    * `exclude` (empty frame when none — the bootstrap case).
+    */
+  def committedSnapshotBands(spark: SparkSession, root: String,
+                             exclude: String): DataFrame = {
+    val io = new graft.io.ManifestParquetIO(root)
+    import spark.implicits._
+    committedSnapshotTables(root, exclude)
+      .map(t => io.read(spark, t).select("band", "band_hash"))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(Seq.empty[(Int, Long)].toDF("band", "band_hash"))
+  }
+
+  /** Fuzzy removal ids of snapshot `snapshotId` against all OTHER
+    * committed snapshots under `indexRoot`; with `updateIndex` the kept
+    * docs' bands (reused from the already-materialized batch band
+    * table — no second signature pass) overwrite-commit the snapshot's
+    * own subtable. Rerun-idempotent at any crash point; bootstrap is
+    * just the first snapshot (no special casing).
+    */
+  def fuzzySnapshotRemovalIds(batch: DataFrame, indexRoot: String, snapshotId: String,
+                              p: MinHashLSH.Params = MinHashLSH.Params(),
+                              idCol: String = "doc_id", textCol: String = "text",
+                              updateIndex: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val b = fuzzyIndex(batch, p, idCol, textCol).localCheckpoint(true)
+    val removal = removalsFromBands(b, committedSnapshotBands(spark, indexRoot, snapshotId), idCol)
+      .localCheckpoint(true)
+    if (updateIndex) {
+      val keptBands = b.join(removal, Seq(idCol), "left_anti")
+      new graft.io.ManifestParquetIO(indexRoot).write(keptBands, snapTable(snapshotId))
+    }
+    removal
+  }
+
+  /** text_md5 sets of every committed snapshot except `exclude`. */
+  def committedSnapshotHashes(spark: SparkSession, root: String,
+                              exclude: String): DataFrame = {
+    val io = new graft.io.ManifestParquetIO(root)
+    import spark.implicits._
+    committedSnapshotTables(root, exclude)
+      .map(t => io.read(spark, t).select("text_md5"))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(Seq.empty[String].toDF("text_md5"))
+  }
+
+  /** Exact analogue of [[fuzzySnapshotRemovalIds]]. */
+  def exactSnapshotRemovalIds(batch: DataFrame, indexRoot: String, snapshotId: String,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              updateIndex: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val removal = exactRemovalIds(batch,
+        committedSnapshotHashes(spark, indexRoot, snapshotId), idCol, textCol)
+      .localCheckpoint(true)
+    if (updateIndex) {
+      val kept = batch.join(removal, Seq(idCol), "left_anti")
+      new graft.io.ManifestParquetIO(indexRoot).write(exactIndex(kept, textCol), snapTable(snapshotId))
+    }
+    removal
+  }
 
   // ---------------- exact (md5) ----------------
 

@@ -156,13 +156,11 @@ $footerBoiler</body></html>"""
   /** Build the cc_pages DataFrame distributed (no driver-side collect —
     * rows are generated executor-side from an id range).
     */
-  def generate(spark: SparkSession, rows: Long, partitions: Int = 32): DataFrame = {
-    import spark.implicits._
-    spark.range(0, rows, 1, partitions).as[Long].map(i => page(i)).toDF()
-  }
+  def generate(spark: SparkSession, rows: Long, partitions: Int = 32): DataFrame =
+    generateRange(spark, 0, rows, partitions)
 
-  /** A later SLICE of the same deterministic stream — a "next snapshot"
-    * for incremental-dedup runs: rows i%40==8 duplicate the corpus's
+  /** A SLICE of the same deterministic stream — a "next snapshot" for
+    * incremental-dedup runs: rows i%40==8 duplicate the corpus's
     * planted exact group, class-9 rows near-dup their own in-slice base.
     */
   def generateRange(spark: SparkSession, start: Long, end: Long,

@@ -192,31 +192,36 @@ object ConfigPipeline {
       else removalIds
 
     // BEYOND-THE-REFERENCE `index_path` extension: dedupe THIS batch
-    // against a persisted corpus index (graft.dedup.IncrementalDedup) at
-    // cost proportional to the batch. A missing path is the bootstrap
-    // snapshot: plain self-dedup; with `update_index: true` the kept
-    // docs then create (bootstrap) or extend (later snapshots) the
-    // index. update_index defaults FALSE — reruns of a crashed batch
-    // would append the same bands twice (harmless for correctness of
-    // the semi-join, but the index grows), so mutation is opt-in.
-    def incremental(ip: String,
-                    bootstrapIds: => DataFrame,
-                    againstIndex: DataFrame => DataFrame,
-                    writeIndex: DataFrame => Unit,
-                    appendIndex: DataFrame => Unit): DataFrame = {
-      val hp = new org.apache.hadoop.fs.Path(ip)
-      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val exists = fs.exists(hp)
-      // eager checkpoint: the thin removal-id list feeds both the
-      // output and the kept-side index update
-      val removal = (if (exists) againstIndex(spark.read.parquet(ip)) else bootstrapIds)
-        .localCheckpoint(true)
-      lazy val kept = withId.join(removal, Seq(idCol), "left_anti")
-      if (bool("update_index", d = false)) {
-        if (exists) appendIndex(kept) else writeIndex(kept)
+    // (one SNAPSHOT) against every OTHER committed snapshot under the
+    // index root (graft.dedup.IncrementalDedup snapshot layout) at cost
+    // proportional to the batch. The snapshot id comes from
+    // `snapshot_id` or defaults to a hash of the input path, so a rerun
+    // of the same batch targets the same subtable: removals are
+    // recomputed identically no matter where a previous attempt died
+    // (its own subtable is always excluded from the index read), and
+    // the `update_index: true` write is an idempotent overwrite-commit.
+    // The bootstrap snapshot is just the first one — no special casing.
+    // update_index defaults FALSE (mutating shared storage is opt-in).
+    def incremental(ip: String, removalIds: String => DataFrame): DataFrame = {
+      // an unresolved `???` cache_path (the fuzzy yaml's required-override
+      // marker with no override given) counts as "not set"
+      val cachePathSet =
+        scala.util.Try(opt("cache_path")).toOption.flatten.exists(_ != "null")
+      require(!cachePathSet,
+        "index_path and cache_path cannot be combined: the incremental snapshot " +
+          "run recomputes the batch sketch per attempt (it is cheap at batch " +
+          "scale); drop one of the two options")
+      val snapshotId = opt("snapshot_id").getOrElse {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(str("input_path").getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
       }
-      if (bool("perform_removal", d = false)) kept
+      val removal = removalIds(snapshotId)
+      if (bool("perform_removal", d = false))
+        withId.join(removal, Seq(idCol), "left_anti")
       else removalOutput(removal)
+      // (the snapshot index write happens inside removalIds when
+      // update_index is true — idempotent, so ordering vs the output
+      // write does not matter)
     }
 
     // single-corpus fuzzy run (the reference's own contract), with the
@@ -246,11 +251,10 @@ object ConfigPipeline {
       case "ExactDeduplicationWorkflow" =>
         opt("index_path").filter(_ != "null") match {
           case Some(ip) =>
-            incremental(ip,
-              graft.dedup.ExactDedup.removalIds(withId, idCol = idCol, textCol = textField),
-              idx => graft.dedup.IncrementalDedup.exactRemovalIds(withId, idx, idCol, textField),
-              kept => graft.dedup.IncrementalDedup.writeExactIndex(kept, ip, textField),
-              kept => graft.dedup.IncrementalDedup.appendExactIndex(kept, ip, textField))
+            incremental(ip, snap =>
+              graft.dedup.IncrementalDedup.exactSnapshotRemovalIds(
+                withId, ip, snap, idCol, textField,
+                updateIndex = bool("update_index", d = false)))
           case None =>
             if (bool("perform_removal", d = false))
               graft.dedup.ExactDedup.removeDuplicates(withId, idCol = idCol, textCol = textField)
@@ -264,11 +268,10 @@ object ConfigPipeline {
           rowsPerBand = int("minhashes_per_band", 13))
         opt("index_path").filter(_ != "null") match {
           case Some(ip) =>
-            incremental(ip,
-              graft.dedup.MinHashLSH.removalIds(withId, p, idCol = idCol, textCol = textField),
-              idx => graft.dedup.IncrementalDedup.fuzzyRemovalIds(withId, idx, p, idCol, textField),
-              kept => graft.dedup.IncrementalDedup.writeFuzzyIndex(kept, ip, p, idCol, textField),
-              kept => graft.dedup.IncrementalDedup.appendFuzzyIndex(kept, ip, p, idCol, textField))
+            incremental(ip, snap =>
+              graft.dedup.IncrementalDedup.fuzzySnapshotRemovalIds(
+                withId, ip, snap, p, idCol, textField,
+                updateIndex = bool("update_index", d = false)))
           case None => runFuzzySingle(p)
         }
       case "TextSemanticDeduplicationWorkflow" =>

@@ -74,6 +74,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(removed === Set(10L, 11L, 21L))
   }
 
+  test("snapshot index: bootstrap, cross-snapshot removal, idempotent rerun") {
+    val root = Files.createTempDirectory("inc_snap_").toString
+    // snapshot 1 on an empty root: plain self-dedup (corpus is unique)
+    assert(IncrementalDedup.fuzzySnapshotRemovalIds(corpus, root, "s1").count() === 0)
+    assert(IncrementalDedup.committedSnapshotBands(spark, root, "_none_").count() === 40)
+    // snapshot 2: same removals as the flat-index case...
+    def run2() = IncrementalDedup.fuzzySnapshotRemovalIds(batch, root, "s2")
+      .as[Long].collect().toSet
+    assert(run2() === Set(10L, 11L, 21L))
+    // ...and RERUNNING it after its own index write landed gives the
+    // SAME removals (its own subtable is excluded from the read; a flat
+    // append index would classify the whole batch as dups of itself)
+    assert(run2() === Set(10L, 11L, 21L))
+    // index holds s1's 2 docs + s2's 2 KEPT docs (20, 30), overwritten
+    // not appended on the rerun
+    assert(IncrementalDedup.committedSnapshotBands(spark, root, "_none_").count() === 80)
+  }
+
+  test("exact snapshot index: same rerun-idempotency contract") {
+    val root = Files.createTempDirectory("inc_snap_").toString
+    val c = Seq((1L, "page one"), (2L, "page two")).toDF("doc_id", "text")
+    val nb = Seq((10L, "page one"), (11L, "brand new")).toDF("doc_id", "text")
+    assert(IncrementalDedup.exactSnapshotRemovalIds(c, root, "s1").count() === 0)
+    def run2() = IncrementalDedup.exactSnapshotRemovalIds(nb, root, "s2")
+      .as[Long].collect().toSet
+    assert(run2() === Set(10L))
+    assert(run2() === Set(10L))
+    assert(IncrementalDedup.committedSnapshotHashes(spark, root, "_none_").count() === 3)
+  }
+
   test("exact: indexed texts removed, intra-batch keep-first, uniques kept") {
     val c = Seq((1L, "page one"), (2L, "page two")).toDF("doc_id", "text")
     val nb = Seq(

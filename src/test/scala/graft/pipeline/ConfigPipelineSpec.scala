@@ -102,31 +102,39 @@ class ConfigPipelineSpec extends AnyFunSuite {
     assert(spark.read.json(s"$tmp/out_fuzzy").count() == 1)
   }
 
-  test("workflow index_path: bootstrap writes the index, the next snapshot dedupes against it") {
+  test("workflow index_path: bootstrap snapshot, cross-snapshot dedup, idempotent rerun") {
     val tmp = java.nio.file.Files.createTempDirectory("cfginc").toString
     val baseA = (1 to 40).map(i => s"token$i word$i").mkString(" ")
     val uniqC = (1 to 40).map(i => s"other$i thing$i").mkString(" ")
     val uniqD = (1 to 40).map(i => s"unrelated$i stuff$i").mkString(" ")
-    // snapshot 1 (no index yet): two unique docs -> bootstrap, 0 removals
+    def idxBands = graft.dedup.IncrementalDedup
+      .committedSnapshotBands(spark, s"$tmp/idx", exclude = "_none_")
+    // snapshot 1 (empty index root): bootstrap == plain self-dedup, 0 removals
     Seq(("u0", baseA), ("u1", uniqC)).toDF("url", "text").write.json(s"$tmp/in1")
     val r1 = ConfigPipeline.runWorkflow(spark,
       s"$cfgDir/fuzzy_deduplication_pipeline.yaml",
       Map("input_path" -> s"$tmp/in1", "output_path" -> s"$tmp/out1",
         "index_path" -> s"$tmp/idx", "update_index" -> "true"))
     assert(r1.count() == 0)
-    assert(spark.read.parquet(s"$tmp/idx").count() == 40, "20 bands x 2 kept docs")
+    assert(idxBands.count() == 40, "20 bands x 2 kept docs")
     // snapshot 2: one near-dup of a snapshot-1 doc + one new doc; the
     // dup is removed AGAINST THE INDEX (perform_removal False + synthetic
     // ids -> output is the full duplicate rows)
     Seq(("u2", baseA + " extra"), ("u3", uniqD)).toDF("url", "text").write.json(s"$tmp/in2")
-    val r2 = ConfigPipeline.runWorkflow(spark,
+    def runSnap2() = ConfigPipeline.runWorkflow(spark,
       s"$cfgDir/fuzzy_deduplication_pipeline.yaml",
       Map("input_path" -> s"$tmp/in2", "output_path" -> s"$tmp/out2",
         "index_path" -> s"$tmp/idx", "update_index" -> "true"))
-    assert(r2.select("url").as[String].collect().toSet == Set("u2"))
-    // the index grew by the kept doc's bands only
-    assert(spark.read.parquet(s"$tmp/idx").count() == 60, "20 bands x 3 kept docs")
-    // exact workflow, same contract
+    assert(runSnap2().select("url").as[String].collect().toSet == Set("u2"))
+    assert(idxBands.count() == 60, "20 bands x 3 kept docs")
+    // RERUN of snapshot 2 after its index write already landed: its own
+    // subtable is excluded from the index read, so removals are
+    // IDENTICAL (a flat append-style index would classify the whole
+    // batch as duplicates of itself) and the overwrite-commit leaves
+    // the index unchanged
+    assert(runSnap2().select("url").as[String].collect().toSet == Set("u2"))
+    assert(idxBands.count() == 60, "rerun overwrote its own subtable, no growth")
+    // exact workflow, same contract incl. rerun idempotency
     Seq(("v0", "page one body"), ("v1", "page two body"))
       .toDF("url", "text").write.json(s"$tmp/ein1")
     ConfigPipeline.runWorkflow(spark,
@@ -135,11 +143,20 @@ class ConfigPipelineSpec extends AnyFunSuite {
         "index_path" -> s"$tmp/eidx", "update_index" -> "true"))
     Seq(("v2", "page one body"), ("v3", "page three body"))
       .toDF("url", "text").write.json(s"$tmp/ein2")
-    val e2 = ConfigPipeline.runWorkflow(spark,
+    def runESnap2() = ConfigPipeline.runWorkflow(spark,
       s"$cfgDir/exact_deduplication_pipeline.yaml",
       Map("input_path" -> s"$tmp/ein2", "output_path" -> s"$tmp/eout2",
-        "index_path" -> s"$tmp/eidx"))
-    assert(e2.select("url").as[String].collect().toSet == Set("v2"))
+        "index_path" -> s"$tmp/eidx", "update_index" -> "true"))
+    assert(runESnap2().select("url").as[String].collect().toSet == Set("v2"))
+    assert(runESnap2().select("url").as[String].collect().toSet == Set("v2"))
+    // combining index_path with cache_path fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      ConfigPipeline.runWorkflow(spark,
+        s"$cfgDir/fuzzy_deduplication_pipeline.yaml",
+        Map("input_path" -> s"$tmp/in2", "output_path" -> s"$tmp/out3",
+          "index_path" -> s"$tmp/idx", "cache_path" -> s"$tmp/cache"))
+    }
+    assert(ex.getMessage.contains("cannot be combined"))
   }
 
   test("semantic dedup workflow yaml runs with the hash-embedder slot") {
