@@ -56,15 +56,8 @@ object FuzzyCheckpoint {
     val io = new ManifestParquetIO(cachePath)
 
     val sigs = stage(io, spark, "minhashes")(MinHashLSH.signatures(df, p, idCol, textCol))
-    val edges = stage(io, spark, "edges") {
-      val b = MinHashLSH.bands(sigs, p, idCol)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "band_hash").orderBy(idCol)
-      b.withColumn("src", lag(col(idCol), 1).over(w))
-        .filter(col("src").isNotNull)
-        .select(col("src"), col(idCol).as("dst"))
-        .distinct()
-    }
+    val edges = stage(io, spark, "edges")(
+      MinHashLSH.edgesFromBands(MinHashLSH.bands(sigs, p, idCol), idCol))
     val comps = stage(io, spark, "components")(ConnectedComponents.run(edges))
     comps.filter(col("id") =!= col("component")).select(col("id").as(idCol))
   }

@@ -113,9 +113,10 @@ object IncrementalDedup {
     val hits = b.join(corpusHits, Seq("band", "band_hash"), "left_semi")
       .select(col(idCol).as("id"))
 
-    // intra-batch candidate edges: consecutive-pair chain per bucket
-    // (same construction as MinHashLSH.candidateEdges; the edge-level
-    // distinct happens inside ConnectedComponents.run)
+    // intra-batch candidate edges: consecutive-pair chain per bucket —
+    // MinHashLSH.edgesFromBands minus its distinct() (one fewer
+    // exchange; the edge-level dedup happens inside
+    // ConnectedComponents.run)
     val w = Window.partitionBy("band", "band_hash").orderBy(idCol)
     val edges = b.withColumn("src", lag(col(idCol), 1).over(w))
       .filter(col("src").isNotNull)

@@ -228,8 +228,14 @@ object MinHashLSH {
     * threads in one shared heap.
     */
   def candidateEdges(df: DataFrame, p: Params = Params(),
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val b = bands(signatures(df, p, idCol, textCol), p, idCol)
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    edgesFromBands(bands(signatures(df, p, idCol, textCol), p, idCol), idCol)
+
+  /** The consecutive-pair chain over a band table (the lag() window
+    * described above), shared by the single-pass, stage-checkpointed
+    * and incremental paths so the edge semantics cannot drift.
+    */
+  def edgesFromBands(b: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "band_hash").orderBy(idCol)
     b.withColumn("src", lag(col(idCol), 1).over(w))

@@ -302,7 +302,11 @@ final class CatalogTableIO(catalog: String) extends TableIO with Serializable {
             e.getMessage.contains("v1 table") =>
         val spark = df.sparkSession
         val existing = spark.table(fqn(table))
-        val merged = existing.filter(!condition)
+        // keep every row the filter does NOT match — including rows where
+        // the condition evaluates to NULL (plain `!condition` is NULL for
+        // those and would silently drop them; Iceberg's overwrite(cond)
+        // deletes only rows where cond is TRUE)
+        val merged = existing.filter(!coalesce(condition, lit(false)))
           .unionByName(df.select(existing.columns.map(col): _*))
           .localCheckpoint(true)
         merged.write.mode(SaveMode.Overwrite).saveAsTable(fqn(table))

@@ -60,6 +60,17 @@ class CatalogSmokeSpec extends AnyFunSuite {
       io.overwriteWhere(shuffledCols.select("url", "text", "lang"), "pages_ow_smoke",
         col("lang") === "fr")
       assert(io.read(spark, "pages_ow_smoke").count() == 3)
+      // rows where the condition evaluates to NULL must SURVIVE the
+      // overwrite (Iceberg deletes only cond=TRUE rows; the v1 fallback's
+      // remainder filter must not let NULL swallow them)
+      val nullLang = Seq(("http://a/11", "no lang", null.asInstanceOf[String]))
+        .toDF("url", "text", "lang")
+      io.append(nullLang, "pages_ow_smoke")
+      io.overwriteWhere(Seq(("http://a/12", "new de", "de")).toDF("url", "text", "lang"),
+        "pages_ow_smoke", col("lang") === "de")
+      val after = io.read(spark, "pages_ow_smoke")
+      assert(after.count() == 4)
+      assert(after.filter(col("lang").isNull).count() == 1)
     } finally spark.sql("DROP TABLE IF EXISTS spark_catalog.default.pages_ow_smoke")
   }
 
