@@ -134,7 +134,7 @@ object ClipWriter {
         s.foreach {
           case '"' => sb.append("\\\"")
           case '\\' => sb.append("\\\\")
-          case '\b' => sb.append("\\b") // json.dumps short escapes, not 
+          case '\b' => sb.append("\\b") // json.dumps short escapes, not \u0008
           case '\f' => sb.append("\\f")
           case '\n' => sb.append("\\n")
           case '\r' => sb.append("\\r")
