@@ -54,6 +54,29 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(removals == Set(2L))
   }
 
+  test("chain edges are connectivity-equivalent to all within-bucket pairs") {
+    // the lag-window chain builder rests on this claim: per bucket it
+    // emits only consecutive-pair edges, but the connected components
+    // (hence the removal sets) must equal those of the full pair set.
+    // Randomized bucket assignment with multi-band overlap and
+    // singletons, fixed seed.
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      id <- 0L until 80L
+      band <- 0 until 3
+    } yield (band, s"b${rnd.nextInt(10)}", id)
+    val b = rows.toDF("band", "band_hash", "doc_id")
+    val chain = ConnectedComponents.run(MinHashLSH.edgesFromBands(b))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a1 = b.select(col("band"), col("band_hash"), col("doc_id").as("src"))
+    val a2 = b.select(col("band"), col("band_hash"), col("doc_id").as("dst"))
+    val allPairs = a1.join(a2, Seq("band", "band_hash")).filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+    val full = ConnectedComponents.run(allPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chain == full, s"chain components diverge from all-pairs components")
+  }
+
   test("minhash jaccard estimate tracks exact n-gram jaccard") {
     assert(MinHashLSH.ngramJaccard("a b c d e", "a b c d e", 3) == 1.0)
     assert(MinHashLSH.ngramJaccard("a b c d e", "v w x y z", 3) == 0.0)
