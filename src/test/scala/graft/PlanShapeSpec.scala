@@ -68,6 +68,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"wide column entered a shuffle:\n${planString(edges)}")
   }
 
+  test("LSH chain edges build from a window sort, not an object-hash list aggregate") {
+    // the round-6 rewrite: consecutive-pair edges come from one Tungsten
+    // sort + lag() window per bucket. An ObjectHashAggregate here means
+    // someone reintroduced collect_list-per-bucket — the allocation
+    // pattern that kept the stage from scaling past 8 threads.
+    val edges = graft.dedup.MinHashLSH.candidateEdges(docs)
+    val plan = planString(edges)
+    assert(plan.contains("Window"), s"expected a window over the band table:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"boxed list aggregate reappeared in the edge builder:\n$plan")
+  }
+
   test("lshTopK candidate dedup shuffles two ids only; vectors re-attach later") {
     val out = graft.sim.Knn.lshTopK(emb, emb.filter($"vec_id" % 20 === 0), 3, dim = 4,
       tables = 4, bits = 4)
