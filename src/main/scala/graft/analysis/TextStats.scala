@@ -53,8 +53,15 @@ object TextStats {
     * and mean word length fitness. Not a reference op — an additional
     * pipeline primitive (C4/Gopher-style signals reduced to one number).
     */
-  def qualityScore(text: String): Double = {
-    val ws = TextUtils.words(PyText.strip(text))
+  def qualityScore(text: String): Double =
+    qualityScoreParts(text, TextUtils.words(PyText.strip(text)), TextUtils.sentences(text))
+
+  /** [[qualityScore]] over pre-tokenized words/sentences — lets the
+    * curation annotate() path reuse the cascade's DocCtx tokenization
+    * instead of re-splitting the document (same definitions:
+    * TextUtils.words(strip) / TextUtils.sentences).
+    */
+  def qualityScoreParts(text: String, ws: Array[String], sents: Array[String]): Double = {
     if (ws.isEmpty) return 0.0
     val nchar = PyText.len(text)
     // length fitness: saturating ramp to 1.0 at 100 words
@@ -77,7 +84,6 @@ object TextStats {
     }
     val stopScore = math.min(1.0, stop.toDouble / ws.length / 0.06)
     val alphaScore = if (totalWordChars == 0) 0.0 else alphaChars.toDouble / totalWordChars
-    val sents = TextUtils.sentences(text)
     val punctScore =
       if (sents.isEmpty) 0.0
       else sents.count(s => Constants.endMarks.exists(PyText.strip(s).endsWith)).toDouble / sents.length
@@ -152,17 +158,44 @@ object TextStats {
     "pt" -> Set("o", "a", "os", "as", "de", "e", "um", "uma", "que", "em", "para", "com")
   )
 
+  // single-pass dispatch structures: lang order fixed to the sorted key
+  // order the per-lang loop used, word -> bitmask of member languages
+  private val langOrder: Array[String] = stopwords.keys.toArray.sorted
+  private val stopwordMask: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    for (li <- langOrder.indices; w <- stopwords(langOrder(li)))
+      m.merge(w, 1 << li, (a, b) => a | b)
+    m
+  }
+
   def heuristicLangId(text: String): (String, Double) = {
     val ws = PyText.splitWhitespace(PyText.lower(text))
     if (ws.isEmpty) return ("und", 0.0)
+    // one pass over the words, one map lookup each (was: a full scan per
+    // language); hit counts and the argmax are identical to the per-lang
+    // loops — ties keep the alphabetically-first language either way
+    val hits = new Array[Int](langOrder.length)
+    var i = 0
+    while (i < ws.length) {
+      val mask = stopwordMask.getOrDefault(ws(i), 0)
+      if (mask != 0) {
+        var li = 0
+        var m = mask
+        while (m != 0) {
+          if ((m & 1) != 0) hits(li) += 1
+          m >>>= 1
+          li += 1
+        }
+      }
+      i += 1
+    }
     var bestLang = "und"
     var bestScore = 0.0
-    for ((lang, set) <- stopwords.toSeq.sortBy(_._1)) {
-      var hits = 0
-      var i = 0
-      while (i < ws.length) { if (set.contains(ws(i))) hits += 1; i += 1 }
-      val s = hits.toDouble / ws.length
-      if (s > bestScore) { bestScore = s; bestLang = lang }
+    var li = 0
+    while (li < langOrder.length) {
+      val s = hits(li).toDouble / ws.length
+      if (s > bestScore) { bestScore = s; bestLang = langOrder(li) }
+      li += 1
     }
     (bestLang, bestScore)
   }

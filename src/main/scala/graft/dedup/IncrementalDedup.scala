@@ -110,17 +110,21 @@ object IncrementalDedup {
     val hot = b.select("band", "band_hash").distinct()
     val corpusHits = index.select("band", "band_hash")
       .join(hot, Seq("band", "band_hash"), "left_semi")
+    // eager localCheckpoint: hits (a thin id list bounded by the batch)
+    // feeds THREE consumers below (the anchored semi-join and the final
+    // union, with `anchored` itself consumed twice) — without
+    // materialization the whole index subtree, including the corpus-side
+    // signature pass when the index arrives lazy, was evaluated three
+    // times in the final plan (3 parquet scans observed; ~2x on the
+    // catalog entry)
     val hits = b.join(corpusHits, Seq("band", "band_hash"), "left_semi")
       .select(col(idCol).as("id"))
+      .localCheckpoint(true)
 
-    // intra-batch candidate edges: consecutive-pair chain per bucket —
-    // MinHashLSH.edgesFromBands minus its distinct() (one fewer
-    // exchange; the edge-level dedup happens inside
-    // ConnectedComponents.run)
-    val w = Window.partitionBy("band", "band_hash").orderBy(idCol)
-    val edges = b.withColumn("src", lag(col(idCol), 1).over(w))
-      .filter(col("src").isNotNull)
-      .select(col("src"), col(idCol).as("dst"))
+    // intra-batch candidate edges: consecutive-pair chain per bucket
+    // without a distinct (the edge-level dedup happens inside
+    // ConnectedComponents.run) — the shared chain builder
+    val edges = MinHashLSH.chainEdges(b, idCol)
     val comps = ConnectedComponents.run(edges) // (id, component = min id)
 
     // components touching any direct hit: every member duplicates the

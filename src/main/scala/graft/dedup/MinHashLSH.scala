@@ -235,13 +235,20 @@ object MinHashLSH {
     * described above), shared by the single-pass, stage-checkpointed
     * and incremental paths so the edge semantics cannot drift.
     */
-  def edgesFromBands(b: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def edgesFromBands(b: DataFrame, idCol: String = "doc_id"): DataFrame =
+    chainEdges(b, idCol).distinct()
+
+  /** The raw consecutive-pair chain without the distinct — for consumers
+    * whose downstream already dedups edges (ConnectedComponents.run
+    * starts with its own distinct; a distinct here would just add an
+    * exchange + aggregate round in front of it).
+    */
+  private[dedup] def chainEdges(b: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band", "band_hash").orderBy(idCol)
     b.withColumn("src", lag(col(idCol), 1).over(w))
       .filter(col("src").isNotNull) // first row of each bucket; singleton buckets emit nothing
       .select(col("src"), col(idCol).as("dst"))
-      .distinct()
   }
 
   /** Full fuzzy-dedup removal-id list: LSH candidates → connected
@@ -250,7 +257,9 @@ object MinHashLSH {
     */
   def removalIds(df: DataFrame, p: Params = Params(),
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val edges = candidateEdges(df, p, idCol, textCol)
+    // chainEdges (not candidateEdges): CC.run dedups edges itself, so the
+    // pre-distinct would be a redundant exchange + aggregate
+    val edges = chainEdges(bands(signatures(df, p, idCol, textCol), p, idCol), idCol)
     val comps = ConnectedComponents.run(edges) // (id, component) — component = min id
     comps.filter(col("id") =!= col("component")).select(col("id").as(idCol))
   }

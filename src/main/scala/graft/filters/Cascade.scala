@@ -19,8 +19,13 @@ object Cascade extends Serializable {
 
   final case class Verdict(keep: Boolean, firstReject: String, scores: Array[Double])
 
-  def evaluate(filters: Array[DocFilter], text: String): Verdict = {
-    val ctx = new DocCtx(text) // words/sentences/paragraphs tokenized once
+  def evaluate(filters: Array[DocFilter], text: String): Verdict =
+    evaluate(filters, new DocCtx(text))
+
+  /** Evaluate over a caller-supplied DocCtx so the caller can reuse the
+    * tokenization for its own per-doc work (CurationPipeline.annotate).
+    */
+  def evaluate(filters: Array[DocFilter], ctx: DocCtx): Verdict = {
     val scores = Array.fill(filters.length)(Double.NaN)
     var i = 0
     while (i < filters.length) {

@@ -13,6 +13,25 @@ final class DocCtx(val text: String) {
   lazy val words: Array[String] = TextUtils.words(PyText.strip(text))
   lazy val sentences: Array[String] = TextUtils.sentences(text)
   lazy val paragraphs: Array[String] = TextUtils.paragraphs(text)
+  /** Per-word double hashes (java hashCode + FNV-1a), shared by the nine
+    * n-gram repetition filters so each doesn't re-hash every word.
+    */
+  lazy val wordHashes: (Array[Long], Array[Long]) = {
+    val ws = words
+    val wh1 = new Array[Long](ws.length)
+    val wh2 = new Array[Long](ws.length)
+    var w = 0
+    while (w < ws.length) {
+      val word = ws(w)
+      wh1(w) = word.hashCode.toLong
+      var f = 0xcbf29ce484222325L
+      var c = 0
+      while (c < word.length) { f ^= word.charAt(c); f *= 0x100000001b3L; c += 1 }
+      wh2(w) = f
+      w += 1
+    }
+    (wh1, wh2)
+  }
 }
 
 /** A document-level quality filter: score + keep decision.
@@ -336,23 +355,14 @@ object HeuristicFilters {
       val ws = ctx.words
       if (ws.length < n) return 1.0
       // count by double-hashed ngram key (no per-window string build);
-      // remember the winner's first occurrence to rebuild its string once
-      val counts = new java.util.HashMap[NGramKey, Int]()
-      val wh1 = new Array[Long](ws.length)
-      val wh2 = new Array[Long](ws.length)
-      var w = 0
-      while (w < ws.length) {
-        val word = ws(w)
-        wh1(w) = word.hashCode.toLong
-        var f = 0xcbf29ce484222325L
-        var c = 0
-        while (c < word.length) { f ^= word.charAt(c); f *= 0x100000001b3L; c += 1 }
-        wh2(w) = f
-        w += 1
-      }
+      // remember the winner's first occurrence to rebuild its string once.
+      // Word hashes come from the shared ctx (computed once per doc for
+      // all nine n-gram filters); the counter is a reusable open-address
+      // table with the same (h1, h2) key identity as the old HashMap.
+      val (wh1, wh2) = ctx.wordHashes
+      val counts = ngramCounter(ws.length - n + 1)
       var bestCount = 0
       var bestPos = 0
-      var bestKey: NGramKey = null
       var i = 0
       while (i <= ws.length - n) {
         var h1 = 1125899906842597L
@@ -363,13 +373,10 @@ object HeuristicFilters {
           h2 = (h2 ^ wh2(i + j)) * 0xff51afd7ed558ccdL
           j += 1
         }
-        val key = new NGramKey(h1, h2)
-        val c = counts.merge(key, 1, (a, b) => a + b)
-        if (c > bestCount || bestKey == null) {
-          // ties keep the earlier first-occurrence (same winner as the
-          // sequential strictly-greater update over joined strings)
-          if (c > bestCount) { bestCount = c; bestPos = i; bestKey = key }
-        }
+        val c = counts.inc(h1, h2)
+        // ties keep the earlier first-occurrence (same winner as the
+        // sequential strictly-greater update over joined strings)
+        if (c > bestCount) { bestCount = c; bestPos = i }
         i += 1
       }
       val sb = new java.lang.StringBuilder()
@@ -399,23 +406,12 @@ object HeuristicFilters {
       val text = ctx.text
       val ws = ctx.words
       if (ws.length < n) return 1.0
-      // seen-set over ngram identity: use a composite 128-bit-ish key of
-      // per-word hashes to avoid building the joined string per window
-      val counts = new java.util.HashMap[NGramKey, Int]()
-      // two independent word hashes: a false ngram merge needs a
-      // simultaneous collision in both (~2^-64 per pair)
-      val wh1 = new Array[Long](ws.length)
-      val wh2 = new Array[Long](ws.length)
-      var w = 0
-      while (w < ws.length) {
-        val word = ws(w)
-        wh1(w) = word.hashCode.toLong
-        var f = 0xcbf29ce484222325L
-        var c = 0
-        while (c < word.length) { f ^= word.charAt(c); f *= 0x100000001b3L; c += 1 }
-        wh2(w) = f
-        w += 1
-      }
+      // seen-set over ngram identity: a composite 128-bit-ish key of
+      // per-word hashes (shared via ctx — two independent word hashes,
+      // so a false ngram merge needs a simultaneous collision in both,
+      // ~2^-64 per pair) avoids building the joined string per window
+      val (wh1, wh2) = ctx.wordHashes
+      val counts = ngramCounter(ws.length - n + 1)
       var duplicatedNchar = 0L
       var overlapping = 0
       var i = 0
@@ -428,8 +424,7 @@ object HeuristicFilters {
           h2 = (h2 ^ wh2(i + j)) * 0xff51afd7ed558ccdL
           j += 1
         }
-        val key = new NGramKey(h1, h2)
-        val c = counts.merge(key, 1, (a, b) => a + b)
+        val c = counts.inc(h1, h2)
         if (c > 1) {
           var dup = 0L
           var k = overlapping
@@ -448,12 +443,58 @@ object HeuristicFilters {
     def keep(s: Double): Boolean = s <= cutoff
   }
 
-  private final class NGramKey(val h1: Long, val h2: Long) {
-    override def hashCode: Int = (h1 ^ (h1 >>> 32) ^ h2).toInt
-    override def equals(o: Any): Boolean = o match {
-      case k: NGramKey => k.h1 == h1 && k.h2 == h2
-      case _ => false
+  /** Reusable per-thread open-addressing (h1, h2) -> count table for the
+    * n-gram repetition filters: same key identity as the old boxed
+    * NGramKey HashMap (equality on the exact 128-bit pair) with zero
+    * per-window allocation. counts==0 marks an empty slot; reset only
+    * zeroes the capacity a document needs.
+    */
+  private final class NGramCounter {
+    private var keys1 = new Array[Long](1 << 11)
+    private var keys2 = new Array[Long](1 << 11)
+    private var counts = new Array[Int](1 << 11)
+    private var mask = (1 << 11) - 1
+    def reset(capacity: Int): Unit = {
+      var cap = 1 << 11
+      while (cap < capacity * 2) cap <<= 1
+      if (keys1.length < cap) {
+        keys1 = new Array[Long](cap)
+        keys2 = new Array[Long](cap)
+        counts = new Array[Int](cap)
+      }
+      mask = cap - 1
+      java.util.Arrays.fill(counts, 0, cap, 0)
     }
+    /** Increment the count of (h1, h2); returns the new count. */
+    def inc(h1: Long, h2: Long): Int = {
+      val x = (h1 * -7046029254386353131L) ^ h2
+      var idx = ((x ^ (x >>> 32)) & mask).toInt
+      while (true) {
+        val c = counts(idx)
+        if (c == 0) {
+          keys1(idx) = h1; keys2(idx) = h2; counts(idx) = 1
+          return 1
+        }
+        if (keys1(idx) == h1 && keys2(idx) == h2) {
+          counts(idx) = c + 1
+          return c + 1
+        }
+        idx = (idx + 1) & mask
+      }
+      0 // unreachable
+    }
+  }
+
+  /** Tables beyond this capacity are not retained per thread. */
+  private val MaxRetainedNGramCap = 1 << 20
+
+  private val ngramScratch: ThreadLocal[NGramCounter] =
+    ThreadLocal.withInitial(() => new NGramCounter)
+
+  private def ngramCounter(windows: Int): NGramCounter = {
+    val c = if (windows * 2 > MaxRetainedNGramCap) new NGramCounter else ngramScratch.get()
+    c.reset(windows)
+    c
   }
 
   /** heuristic_filter.py:510-530 — sentences not ending in .?!"' / sentences

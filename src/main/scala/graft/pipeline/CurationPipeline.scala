@@ -36,9 +36,13 @@ object CurationPipeline {
 
   def annotate(text: String): Annotations = {
     if (text == null) return Annotations(keep = false, "null_text", "und", 0.0, 0.0, 0, null)
-    val v = Cascade.evaluate(HeuristicFilters.englishCascade, text)
+    // one DocCtx shared by the cascade and the quality score — the
+    // document is word/sentence-tokenized once per row, not once per
+    // consumer (identical tokenization definitions)
+    val ctx = new graft.filters.DocCtx(text)
+    val v = Cascade.evaluate(HeuristicFilters.englishCascade, ctx)
     val (langPred, langScore) = TextStats.heuristicLangId(text)
-    val quality = TextStats.qualityScore(text)
+    val quality = TextStats.qualityScoreParts(text, ctx.words, ctx.sentences)
     val tokens = TextStats.bpeTokenCount(text)
     // scrubbing only pays for kept rows (dropped rows ship no text)
     val scrubbed =
