@@ -645,15 +645,21 @@ object SparkEntry {
     // exact token-3-gram Jaccard disposes — output is oracle-checkable
     // against the exact all-pairs J>=0.5 ground truth over the
     // CONSTRUCTED nearDupIn corpus (scale-robust; see nearDupIn)
+    // both pairs entries materialize the constructed corpus ONCE: the
+    // grouping pass and the two text-rejoin sides of the verify step
+    // otherwise each re-evaluate the scan + giant CASE projection +
+    // repartition subtree (and each pays its own codegen of it)
     "dedup_simhash_pairs" -> ((s, dir) =>
       SimHash.verifiedNearDupPairs(
-          spread(tbl(s, dir, "documents").withColumn("text", expr(swapDupIn))),
+          spread(tbl(s, dir, "documents").withColumn("text", expr(swapDupIn)))
+            .localCheckpoint(true),
           maxHamming = 4, minJaccard = 0.5)
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))),
 
     "dedup_jaccard_pairs" -> ((s, dir) =>
       MinHashLSH.verifiedPairs(
-          spread(tbl(s, dir, "documents").withColumn("text", expr(nearDupIn))),
+          spread(tbl(s, dir, "documents").withColumn("text", expr(nearDupIn)))
+            .localCheckpoint(true),
           minJaccard = 0.5)
         .select(col("src"), col("dst"), round(col("jaccard"), 6).as("jaccard"))),
 
@@ -663,7 +669,12 @@ object SparkEntry {
     // anchored pair, and an unanchored intra-batch pair, so the removal
     // set has a closed-form linear oracle at every scale
     "dedup_incremental_ids" -> ((s, dir) => {
+      // materialize the constructed corpus ONCE: the corpus and batch
+      // branches otherwise each re-evaluate the scan + giant CASE
+      // projection + repartition subtree (and each pays its own codegen
+      // of the same thousand-char literals)
       val docs = spread(tbl(s, dir, "documents").withColumn("text", expr(incDupIn)))
+        .localCheckpoint(true)
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
       IncrementalDedup.fuzzyRemovalIds(batch, IncrementalDedup.fuzzyIndex(corpus))
@@ -1247,7 +1258,7 @@ object SparkEntry {
         replace(col("text"), lit(" data "), lit(" \\gm ")),
         lit("\n\\appendix\ntrailing"))
       graft.sources.ArxivSource.extractColumns(
-          tbl(s, dir, "documents").select(col("doc_id"), array(content).as("content")))
+          spread(tbl(s, dir, "documents")).select(col("doc_id"), array(content).as("content")))
         .select(col("doc_id"), col("text"))
     }),
 
@@ -1260,7 +1271,7 @@ object SparkEntry {
         replace(col("text"), lit(" the "), lit(" [[the]] ")),
         lit("\n[[Category:Docs]]<ref>x</ref>"))
       graft.sources.WikipediaSource.extractColumns(
-          tbl(s, dir, "documents").select(col("doc_id"), raw.as("raw_content")))
+          spread(tbl(s, dir, "documents")).select(col("doc_id"), raw.as("raw_content")))
         .select(col("doc_id"), col("text"))
     }),
 

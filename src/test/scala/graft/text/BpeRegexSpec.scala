@@ -76,4 +76,27 @@ class BpeRegexSpec extends AnyFunSuite {
       assert(gpt2(s).mkString == s)
     }
   }
+
+  test("property: hand-rolled scanner count == oracle regex count on adversarial unicode input") {
+    val rnd = new scala.util.Random(4242)
+    // alphabet spanning every scanner branch: ASCII letters/digits,
+    // contraction suffix chars after apostrophes, every Java-\s char,
+    // non-ASCII whitespace (NBSP — "other" under the ASCII \s class),
+    // unicode letters, Nl/No numbers (Ⅻ, ²), combining marks, an
+    // astral-plane letter and emoji (surrogate pairs), and a lone
+    // high surrogate
+    val alphabet: Array[String] = Array(
+      "a", "Z", "9", "'", "s", "t", "r", "e", "v", "m", "l", "d",
+      " ", "\t", "\n", "\u000B", "\f", "\r", "\u00A0",
+      "é", "Ω", "中", "Ⅻ", "²", "٣", "́", ".", ",", "#", "-",
+      new String(Character.toChars(0x1D538)), // 𝔸 (category L, astral)
+      new String(Character.toChars(0x1F600)), // 😀 (category So, astral)
+      "\uD83D" // lone high surrogate
+    )
+    (1 to 2000).foreach { _ =>
+      val s = Vector.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(TextStats.bpeTokenCount(s) == oracle(s).length,
+        s"scanner/regex mismatch on ${s.map(_.toInt).mkString(",")}")
+    }
+  }
 }
