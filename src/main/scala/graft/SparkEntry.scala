@@ -281,6 +281,10 @@ object SparkEntry {
   // ---------- per-filter query builder ----------
   private def hfQuery(f: DocFilter, inputExpr: String = "text")
   : (SparkSession, String) => DataFrame = { (s, dir) =>
+    // two DETERMINISTIC UDFs on purpose: deterministic projections are
+    // prunable, which keeps actions that don't consume the columns
+    // (e.g. a bare count) from paying for them — a fused
+    // nondeterministic struct UDF would force evaluation everywhere
     val scoreU = udf((t: String) => f.score(t))
     val keepU = udf((t: String) => f.keepDocument(t))
     tbl(s, dir, "documents")
