@@ -673,12 +673,13 @@ object SparkEntry {
     // anchored pair, and an unanchored intra-batch pair, so the removal
     // set has a closed-form linear oracle at every scale
     "dedup_incremental_ids" -> ((s, dir) => {
-      // materialize the constructed corpus ONCE: the corpus and batch
-      // branches otherwise each re-evaluate the scan + giant CASE
-      // projection + repartition subtree (and each pays its own codegen
-      // of the same thousand-char literals)
+      // NO entry-level checkpoint on purpose (A/B-measured slower): the
+      // corpus and batch branches read DISJOINT row sets, so only plan
+      // text is shared — an eager materialization here adds a job
+      // without saving row work. The load-bearing fix is inside
+      // removalsFromBands (the direct-hit list is checkpointed so the
+      // corpus-side signature pass runs once, not three times).
       val docs = spread(tbl(s, dir, "documents").withColumn("text", expr(incDupIn)))
-        .localCheckpoint(true)
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
       IncrementalDedup.fuzzyRemovalIds(batch, IncrementalDedup.fuzzyIndex(corpus))

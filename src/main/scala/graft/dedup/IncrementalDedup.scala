@@ -267,8 +267,12 @@ object IncrementalDedup {
   def exactRemovalIds(batch: DataFrame, index: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy("_dup_hash").orderBy(col(idCol))
+    // eager localCheckpoint: ranked (thin (hash, id, rn), bounded by the
+    // batch) feeds both the intra-loser filter and the index semi-join —
+    // without it the batch scan + md5 + window shuffle run twice
     val ranked = ExactDedup.hashed(batch, idCol, textCol)
       .withColumn("_rn", row_number().over(w))
+      .localCheckpoint(true)
     val intraLosers = ranked.filter(col("_rn") > 1).select(col(idCol))
     val indexedKept = ranked.filter(col("_rn") === 1)
       .join(index.select(col("text_md5").as("_dup_hash")), Seq("_dup_hash"), "left_semi")
