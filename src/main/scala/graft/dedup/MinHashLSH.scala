@@ -204,13 +204,30 @@ object MinHashLSH {
     */
   def bands(sigs: DataFrame, p: Params = Params(), idCol: String = "doc_id"): DataFrame = {
     val rows = p.rowsPerBand
+    // plain index loops instead of grouped/zipWithIndex iterator
+    // chains — identical per-element fold (including a short final
+    // band when rows doesn't divide the signature), no boxing
     val bandUdf = udf((sig: Seq[Long]) =>
       if (sig == null) null // null-text rows carry null signatures
-      else sig.grouped(rows).zipWithIndex.map { case (slice, i) =>
-        var h = 0x9e3779b97f4a7c15L + i
-        slice.foreach { v => h = (h ^ v) * 0xff51afd7ed558ccdL; h ^= h >>> 33 }
-        h
-      }.toArray)
+      else {
+        val len = sig.length
+        val nb = (len + rows - 1) / rows
+        val out = new Array[Long](nb)
+        var i = 0
+        var idx = 0
+        while (i < nb) {
+          var h = 0x9e3779b97f4a7c15L + i
+          val end = math.min(idx + rows, len)
+          while (idx < end) {
+            h = (h ^ sig(idx)) * 0xff51afd7ed558ccdL
+            h ^= h >>> 33
+            idx += 1
+          }
+          out(i) = h
+          i += 1
+        }
+        out
+      })
     sigs.select(col(idCol), posexplode(bandUdf(col("sig"))).as(Seq("band", "band_hash")))
   }
 
